@@ -1,0 +1,17 @@
+"""mst_tpu — a TPU-native (JAX/XLA/Pallas/pjit) trajectory-forecasting framework.
+
+Re-designed from scratch with the capabilities of vita-epfl/motion-style-transfer
+(Y-Net / Y-Net-Mod goal-conditioned forecasting + parameter-efficient motion-style
+adaptation via low-rank adapters), built TPU-first:
+
+- heatmap construction is an on-device separable rasterizer fused into the model
+  input (the reference slices a (4200*r)^2 CPU template per trajectory point,
+  reference: utils/image_utils.py:40-63, utils/train_epoch.py:63-78),
+- the K-sample stochastic eval is a single batched jitted program
+  (reference loops per sample / per person: utils/evaluate.py:147-155,248-266),
+- adaptation strategies are pytree partitions + LoRA overlays instead of
+  nn.Module mutation (reference: models/trainer.py:112-195),
+- scaling is a jax.sharding Mesh (data x sample) instead of nothing.
+"""
+
+__version__ = "0.1.0"

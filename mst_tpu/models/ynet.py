@@ -1,0 +1,541 @@
+"""Y-Net / Y-Net-Mod in functional JAX (NHWC pytrees).
+
+Architecture parity with the reference models/ynet.py:
+- YNetEncoder / YNetEncoderL / YNetEncoderB (ynet.py:170-283),
+- YNetEncoderFusion — the modular Y-Net-Mod encoder with separate
+  scene/motion branches and late fusion (ynet.py:286-395),
+- YNetDecoder x2 (goal + waypoint-conditioned trajectory, ynet.py:398-471),
+- MoSA/LoRA convs (get_conv2d dispatch, ynet.py:134-151),
+- serial/parallel adapter blocks and in-layer adapters (ynet.py:15-131),
+- semantic adapter + scene/motion embeddings (ynet.py:154-167,513-519).
+
+Re-designed, not ported: parameters are explicit pytrees (adaptation = pytree
+partitioning + LoRA overlays rather than nn.Module mutation), the module is a
+set of pure functions compiled under jit, and layout is NHWC for the TPU MXU.
+"""
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mst_tpu.models import layers
+from mst_tpu.ops.pooling import max_pool_2x2, upsample_bilinear_2x
+
+
+# ---------------------------------------------------------------------------
+# configuration
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class YNetConfig:
+    obs_len: int
+    pred_len: int
+    n_semantic_classes: int = 6
+    encoder_channels: Sequence[int] = (32, 32, 64, 64, 64)
+    decoder_channels: Sequence[int] = (64, 64, 64, 32, 32)
+    waypoints: Sequence[int] = (11,)
+    train_net: str = "train"
+    position: Sequence[str] = ()
+    network: str = "original"  # original | embed | fusion
+    n_fusion: Optional[int] = None
+    use_features_only: bool = False
+    segmentation: Optional[str] = None  # None -> identity backbone
+
+    def __post_init__(self):
+        object.__setattr__(self, "encoder_channels",
+                           tuple(self.encoder_channels))
+        object.__setattr__(self, "decoder_channels",
+                           tuple(self.decoder_channels))
+        object.__setattr__(self, "waypoints", tuple(self.waypoints))
+        object.__setattr__(self, "position",
+                           tuple(str(p) for p in self.position))
+        if self.network == "fusion":
+            assert self.n_fusion is not None, "fusion network needs n_fusion"
+            assert not any(c % 2 for c in self.encoder_channels), \
+                f"Odd value in channels={self.encoder_channels}"
+            assert self.n_fusion <= len(self.encoder_channels) - 1
+
+    @property
+    def n_waypoints(self):
+        return len(self.waypoints)
+
+    @property
+    def feature_channels(self):
+        return self.n_semantic_classes + self.obs_len
+
+    @property
+    def lora_rank(self):
+        """rank parsed from 'mosa_<r>' (reference: ynet.py:186-189)."""
+        if "mosa" not in self.train_net:
+            return None
+        parts = self.train_net.split("_")
+        return int(parts[1]) if len(parts) > 1 else 1
+
+    def conv_kind(self, level) -> str:
+        """Which conv get_conv2d would build at encoder level `level`.
+
+        reference: models/ynet.py:134-151.
+        """
+        l = str(level)
+        if "mosa" in self.train_net and l in self.position:
+            return "lora"
+        if "Layer" in self.train_net and l in self.position:
+            return "adapter_layer"
+        return "plain"
+
+    def adapter_sizes(self):
+        """kernel sizes parsed from the train_net suffix (ynet.py:21-38)."""
+        sizes = self.train_net.split("_")[1:]
+        if "serial" in self.train_net:
+            return []
+        if not sizes:
+            return [1]
+        return [int(s.split("x")[0]) for s in sizes]
+
+
+# ---------------------------------------------------------------------------
+# adapter blocks / layers (reference ynet.py:15-131)
+# ---------------------------------------------------------------------------
+
+def _adapter_init(key, cfg: YNetConfig, in_ch, out_ch=None, stride=1):
+    """Zero-initialized adapter params (+ BN state for serial adapters)."""
+    out_ch = out_ch or in_ch
+    if "serial" in cfg.train_net:
+        bn_p, bn_s = layers.batchnorm_init(in_ch)
+        conv = layers.conv2d_init(key, in_ch, in_ch, 1, bias=False,
+                                  zero_init=True)
+        return {"serial_layer": {"bn": bn_p, "conv": conv}}, \
+               {"serial_layer": {"bn": bn_s}}
+    elif "parallel" in cfg.train_net:
+        ks = cfg.adapter_sizes()
+        convs = {
+            str(i): layers.conv2d_init(jax.random.fold_in(key, i), in_ch,
+                                       out_ch, k, bias=False, zero_init=True)
+            for i, k in enumerate(ks)
+        }
+        return {"parallel_layer": convs}, {}
+    raise ValueError(f"Invalid adapter={cfg.train_net}")
+
+
+def _adapter_block_apply(params, state, cfg: YNetConfig, x, train):
+    """AdapterBlock.forward (ynet.py:54-67). Returns (y, new_state)."""
+    if "parallel" in cfg.train_net:
+        y = 0.0
+        for i in sorted(params["parallel_layer"], key=int):
+            y = y + layers.conv2d_apply(params["parallel_layer"][i], x)
+        return y, state
+    # serial: BN + 1x1 conv, residual
+    bn_out, bn_state = layers.batchnorm_apply(
+        params["serial_layer"]["bn"], state["serial_layer"]["bn"], x, train)
+    y = layers.conv2d_apply(params["serial_layer"]["conv"], bn_out)
+    new_state = {"serial_layer": {"bn": bn_state}}
+    return y + x, new_state
+
+
+def _conv_unit_init(key, cfg: YNetConfig, level, in_ch, out_ch, kernel_size=3):
+    """One encoder conv: plain / LoRA / in-layer-adapter (get_conv2d)."""
+    kind = cfg.conv_kind(level)
+    if kind == "lora":
+        return layers.lora_conv2d_init(key, in_ch, out_ch, kernel_size,
+                                       cfg.lora_rank), {}
+    params = layers.conv2d_init(key, in_ch, out_ch, kernel_size)
+    if kind == "adapter_layer":
+        akey = jax.random.fold_in(key, 101)
+        if "serial" in cfg.train_net:
+            bn_p, bn_s = layers.batchnorm_init(out_ch)
+            conv = layers.conv2d_init(akey, out_ch, out_ch, 1, bias=False,
+                                      zero_init=True)
+            params["serial_layer"] = {"bn": bn_p, "conv": conv}
+            return params, {"serial_layer": {"bn": bn_s}}
+        ks = cfg.adapter_sizes()
+        params["parallel_layer"] = {
+            str(i): layers.conv2d_init(jax.random.fold_in(akey, i), in_ch,
+                                       out_ch, k, bias=False, zero_init=True)
+            for i, k in enumerate(ks)
+        }
+    return params, {}
+
+
+def _conv_unit_apply(params, state, cfg: YNetConfig, level, x, train):
+    """Forward of one encoder conv unit. Returns (y, new_state)."""
+    kind = cfg.conv_kind(level)
+    if kind == "lora":
+        return layers.lora_conv2d_apply(params, x, cfg.lora_rank), state
+    out = layers.conv2d_apply({k: params[k] for k in ("weight", "bias")
+                               if k in params}, x)
+    if kind == "adapter_layer":
+        if "serial" in cfg.train_net:
+            bn_out, bn_state = layers.batchnorm_apply(
+                params["serial_layer"]["bn"], state["serial_layer"]["bn"],
+                out, train)
+            y = layers.conv2d_apply(params["serial_layer"]["conv"], bn_out)
+            return y + out, {"serial_layer": {"bn": bn_state}}
+        y = 0.0
+        for i in sorted(params["parallel_layer"], key=int):
+            y = y + layers.conv2d_apply(params["parallel_layer"][i], x)
+        return y + out, state
+    return out, state
+
+
+# ---------------------------------------------------------------------------
+# encoders
+# ---------------------------------------------------------------------------
+
+def _encoder_init(key, cfg: YNetConfig):
+    """Plain/L/B encoder params (YNetEncoder, ynet.py:170-215)."""
+    chans = cfg.encoder_channels
+    stages, state = {}, {}
+    k0 = jax.random.fold_in(key, 0)
+    p, s = _conv_unit_init(k0, cfg, 0, cfg.feature_channels, chans[0])
+    stages["0"] = {"conv0": p}
+    if s:
+        state.setdefault("stages", {})["0"] = {"conv0": s}
+    for i in range(len(chans) - 1):
+        ki = jax.random.fold_in(key, i + 1)
+        p0, s0 = _conv_unit_init(jax.random.fold_in(ki, 0), cfg, i + 1,
+                                 chans[i], chans[i + 1])
+        p1, s1 = _conv_unit_init(jax.random.fold_in(ki, 1), cfg, i + 1,
+                                 chans[i + 1], chans[i + 1])
+        stages[str(i + 1)] = {"conv0": p0, "conv1": p1}
+        st = {}
+        if s0:
+            st["conv0"] = s0
+        if s1:
+            st["conv1"] = s1
+        if st:
+            state.setdefault("stages", {})[str(i + 1)] = st
+
+    params = {"stages": stages}
+
+    # block adapters (YNetEncoderB, ynet.py:237-256)
+    is_block_adapter = (("serial" in cfg.train_net or
+                         "parallel" in cfg.train_net)
+                        and "Layer" not in cfg.train_net)
+    if is_block_adapter and cfg.position:
+        positions = [int(p) for p in cfg.position]
+        par_in = [cfg.feature_channels] + list(chans[:-1])
+        adapters, ad_state = {}, {}
+        for j, i in enumerate(positions):
+            akey = jax.random.fold_in(key, 1000 + i)
+            if "serial" in cfg.train_net:
+                p, s = _adapter_init(akey, cfg, chans[i])
+            else:
+                p, s = _adapter_init(akey, cfg, par_in[i], chans[i])
+            adapters[str(i)] = p
+            if s:
+                ad_state[str(i)] = s
+        params["adapters"] = adapters
+        if ad_state:
+            state["adapters"] = ad_state
+    return params, state
+
+
+def _stage_apply(params, state, cfg, level, x, train, first_stage):
+    """Apply one encoder stage (maxpool + convs + relu)."""
+    new_state = dict(state) if state else {}
+    if not first_stage:
+        x = max_pool_2x2(x)
+    y, s0 = _conv_unit_apply(params["conv0"],
+                             state.get("conv0", {}) if state else {},
+                             cfg, level, x, train)
+    y = jax.nn.relu(y)
+    if s0:
+        new_state["conv0"] = s0
+    if "conv1" in params:
+        y, s1 = _conv_unit_apply(params["conv1"],
+                                 state.get("conv1", {}) if state else {},
+                                 cfg, level, y, train)
+        y = jax.nn.relu(y)
+        if s1:
+            new_state["conv1"] = s1
+    return y, new_state
+
+
+def _encoder_apply(params, state, cfg: YNetConfig, x, train):
+    """Forward the plain/L/B encoder; returns (features list, new_state).
+
+    Feature list has len(channels)+1 entries: 5 stage outputs plus a final
+    max-pooled map (reference: ynet.py:213-215,229-234).
+    """
+    n_stage = len(cfg.encoder_channels)
+    features = []
+    stage_state = dict(state.get("stages", {}))
+    adapters = params.get("adapters", {})
+    adapter_state = dict(state.get("adapters", {}))
+    is_serial_block = ("serial" in cfg.train_net
+                       and "Layer" not in cfg.train_net and adapters)
+    is_parallel_block = ("parallel" in cfg.train_net
+                         and "Layer" not in cfg.train_net and adapters)
+
+    for i in range(n_stage):
+        sp = params["stages"][str(i)]
+        ss = state.get("stages", {}).get(str(i), {})
+        if is_parallel_block and str(i) in adapters:
+            # parallel block adapter sees the stage input (post-pool for
+            # stages >= 1, reference ynet.py:267-279)
+            branch_in = x if i == 0 else max_pool_2x2(x)
+            y, ns = _stage_apply(sp, ss, cfg, i, x, train, first_stage=(i == 0))
+            ad, ads = _adapter_block_apply(adapters[str(i)],
+                                           adapter_state.get(str(i), {}),
+                                           cfg, branch_in, train)
+            y = y + ad
+            if ads:
+                adapter_state[str(i)] = ads
+        else:
+            y, ns = _stage_apply(sp, ss, cfg, i, x, train, first_stage=(i == 0))
+            if is_serial_block and str(i) in adapters:
+                y, ads = _adapter_block_apply(adapters[str(i)],
+                                              adapter_state.get(str(i), {}),
+                                              cfg, y, train)
+                if ads:
+                    adapter_state[str(i)] = ads
+        if ns:
+            stage_state[str(i)] = ns
+        features.append(y)
+        x = y
+
+    features.append(max_pool_2x2(x))
+
+    new_state = {}
+    if stage_state:
+        new_state["stages"] = stage_state
+    if adapter_state:
+        new_state["adapters"] = adapter_state
+    return features, new_state
+
+
+# --- fusion encoder (Y-Net-Mod, ynet.py:286-395) ---------------------------
+
+def _fusion_branch_init(key, cfg, branch, in_ch, chans, n_sep):
+    """scene/motion branch: first conv stage + n_sep pooled stages."""
+    stages = {}
+    p, _ = _conv_unit_init(jax.random.fold_in(key, 0), cfg_branch(cfg, branch),
+                           branch, in_ch, chans[0] // 2)
+    stages["0"] = {"conv0": p}
+    for i in range(n_sep):
+        ki = jax.random.fold_in(key, i + 1)
+        p0, _ = _conv_unit_init(jax.random.fold_in(ki, 0),
+                                cfg_branch(cfg, branch), branch,
+                                chans[i] // 2, chans[i + 1] // 2)
+        p1, _ = _conv_unit_init(jax.random.fold_in(ki, 1),
+                                cfg_branch(cfg, branch), branch,
+                                chans[i + 1] // 2, chans[i + 1] // 2)
+        stages[str(i + 1)] = {"conv0": p0, "conv1": p1}
+    return stages
+
+
+def cfg_branch(cfg: YNetConfig, branch):
+    """Fusion branches never host block adapters; conv kind keyed on branch
+    name (reference passes l='scene'|'motion'|'fusion', ynet.py:306-363)."""
+    return cfg
+
+
+def _fusion_encoder_init(key, cfg: YNetConfig):
+    chans = cfg.encoder_channels
+    n_sep = len(chans) - cfg.n_fusion - 1
+    scene = _fusion_branch_init(jax.random.fold_in(key, 1), cfg, "scene",
+                                cfg.n_semantic_classes, chans, n_sep)
+    motion = _fusion_branch_init(jax.random.fold_in(key, 2), cfg, "motion",
+                                 cfg.obs_len, chans, n_sep)
+    fusion = {}
+    for j, i in enumerate(range(n_sep, len(chans) - 1)):
+        ki = jax.random.fold_in(jax.random.fold_in(key, 3), j)
+        p0, _ = _conv_unit_init(jax.random.fold_in(ki, 0), cfg, "fusion",
+                                chans[i], chans[i + 1])
+        p1, _ = _conv_unit_init(jax.random.fold_in(ki, 1), cfg, "fusion",
+                                chans[i + 1], chans[i + 1])
+        fusion[str(j)] = {"conv0": p0, "conv1": p1}
+    return {"scene_stages": scene, "motion_stages": motion,
+            "fusion_stages": fusion}, {}
+
+
+def _fusion_encoder_apply(params, state, cfg: YNetConfig, scene_map,
+                          motion_map, train):
+    """YNetEncoderFusion.forward (ynet.py:369-395)."""
+    del state  # fusion branches carry no BN state
+
+    def run_branch(stages, branch, x):
+        outs = []
+        n = len(stages)
+        for i in range(n):
+            y, _ = _stage_apply(stages[str(i)], {}, cfg, branch, x, train,
+                                first_stage=(i == 0))
+            outs.append(y)
+            x = y
+        return outs
+
+    scene_feats = run_branch(params["scene_stages"], "scene", scene_map)
+    motion_feats = run_branch(params["motion_stages"], "motion", motion_map)
+    features = [jnp.concatenate([s, m], axis=-1)
+                for s, m in zip(scene_feats, motion_feats)]
+
+    x = features[-1]
+    n_fused = len(params["fusion_stages"])
+    for i in range(n_fused):
+        y, _ = _stage_apply(params["fusion_stages"][str(i)], {}, cfg,
+                            "fusion", x, train, first_stage=False)
+        features.append(y)
+        x = y
+    features.append(max_pool_2x2(x))
+    return features, {}
+
+
+# ---------------------------------------------------------------------------
+# decoder (reference ynet.py:398-471)
+# ---------------------------------------------------------------------------
+
+def _decoder_init(key, cfg: YNetConfig, traj: int | bool = False):
+    enc = list(cfg.encoder_channels)
+    if traj:
+        enc = [c + int(traj) for c in enc]
+    enc = enc[::-1]
+    center_ch = enc[0]
+    dec = list(cfg.decoder_channels)
+
+    params = {}
+    kc = jax.random.fold_in(key, 0)
+    params["center"] = {
+        "0": layers.conv2d_init(jax.random.fold_in(kc, 0), center_ch,
+                                center_ch * 2, 3),
+        "1": layers.conv2d_init(jax.random.fold_in(kc, 1), center_ch * 2,
+                                center_ch * 2, 3),
+    }
+    up_in = [center_ch * 2] + dec[:-1]
+    up_out = [c // 2 for c in up_in]
+    params["upsample"] = {
+        str(i): layers.conv2d_init(jax.random.fold_in(key, 100 + i), ci, co, 3)
+        for i, (ci, co) in enumerate(zip(up_in, up_out))
+    }
+    blk_in = [e + u for e, u in zip(enc, up_out)]
+    params["blocks"] = {}
+    for i, (ci, co) in enumerate(zip(blk_in, dec)):
+        kb = jax.random.fold_in(key, 200 + i)
+        params["blocks"][str(i)] = {
+            "0": layers.conv2d_init(jax.random.fold_in(kb, 0), ci, co, 3),
+            "1": layers.conv2d_init(jax.random.fold_in(kb, 1), co, co, 3),
+        }
+    params["predictor"] = layers.conv2d_init(
+        jax.random.fold_in(key, 300), dec[-1], cfg.pred_len, 1)
+    return params
+
+
+def _decoder_apply(params, features):
+    """YNetDecoder.forward (ynet.py:453-471); features NHWC, coarsest last."""
+    feats = features[::-1]
+    x = feats[0]
+    x = jax.nn.relu(layers.conv2d_apply(params["center"]["0"], x))
+    x = jax.nn.relu(layers.conv2d_apply(params["center"]["1"], x))
+    n = len(params["blocks"])
+    for i in range(n):
+        x = upsample_bilinear_2x(x)
+        x = layers.conv2d_apply(params["upsample"][str(i)], x)
+        x = jnp.concatenate([x, feats[i + 1]], axis=-1)
+        blk = params["blocks"][str(i)]
+        x = jax.nn.relu(layers.conv2d_apply(blk["0"], x))
+        x = jax.nn.relu(layers.conv2d_apply(blk["1"], x))
+    return layers.conv2d_apply(params["predictor"], x)
+
+
+# ---------------------------------------------------------------------------
+# embeddings + semantic adapter
+# ---------------------------------------------------------------------------
+
+def _embedding_init(key, ch):
+    """3x (conv3x3 + ReLU), constant channels (ynet.py:154-167)."""
+    return {str(i): layers.conv2d_init(jax.random.fold_in(key, i), ch, ch, 3)
+            for i in range(3)}
+
+
+def _embedding_apply(params, x):
+    for i in range(3):
+        x = jax.nn.relu(layers.conv2d_apply(params[str(i)], x))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# full model
+# ---------------------------------------------------------------------------
+
+def init_ynet(key, cfg: YNetConfig):
+    """Initialize YNet parameters + mutable state. Returns (params, state)."""
+    params, state = {}, {}
+    if cfg.network == "fusion":
+        params["encoder"], enc_state = _fusion_encoder_init(
+            jax.random.fold_in(key, 1), cfg)
+    else:
+        params["encoder"], enc_state = _encoder_init(
+            jax.random.fold_in(key, 1), cfg)
+    if enc_state:
+        state["encoder"] = enc_state
+
+    params["goal_decoder"] = _decoder_init(jax.random.fold_in(key, 2), cfg)
+    params["traj_decoder"] = _decoder_init(jax.random.fold_in(key, 3), cfg,
+                                           traj=cfg.n_waypoints)
+
+    if "semantic" in cfg.train_net:
+        k = int(cfg.train_net.split("_")[-1].split("x")[0])
+        params["semantic_adapter"] = layers.conv2d_init(
+            jax.random.fold_in(key, 4), cfg.n_semantic_classes,
+            cfg.n_semantic_classes, k, bias=True, zero_init=True)
+
+    if cfg.network == "embed":
+        params["scene_embedding"] = _embedding_init(
+            jax.random.fold_in(key, 5), cfg.n_semantic_classes)
+        params["motion_embedding"] = _embedding_init(
+            jax.random.fold_in(key, 6), cfg.obs_len)
+
+    return params, state
+
+
+def adapt_semantic(params, cfg: YNetConfig, semantic_img):
+    """Residual semantic adapter (ynet.py:554-559)."""
+    if "semantic_adapter" not in params:
+        return semantic_img
+    return layers.conv2d_apply(params["semantic_adapter"],
+                               semantic_img) + semantic_img
+
+
+def scene_embedding(params, cfg, x):
+    return _embedding_apply(params["scene_embedding"], x) \
+        if "scene_embedding" in params else x
+
+
+def motion_embedding(params, cfg, x):
+    return _embedding_apply(params["motion_embedding"], x) \
+        if "motion_embedding" in params else x
+
+
+def pred_features(params, state, cfg: YNetConfig, scene_map, motion_map,
+                  train=False):
+    """Encoder forward. scene_map (B,H,W,Cs), motion_map (B,H,W,obs_len).
+
+    Returns (features list, new_state). reference: ynet.py:570-575.
+    """
+    enc_state = state.get("encoder", {})
+    if cfg.network == "fusion":
+        feats, new_enc = _fusion_encoder_apply(
+            params["encoder"], enc_state, cfg, scene_map, motion_map, train)
+    else:
+        x = jnp.concatenate([scene_map, motion_map], axis=-1)
+        feats, new_enc = _encoder_apply(params["encoder"], enc_state, cfg, x,
+                                        train)
+    new_state = dict(state)
+    if new_enc:
+        new_state["encoder"] = new_enc
+    return feats, new_state
+
+
+def pred_goal(params, features):
+    """(B,H,W,pred_len) goal/waypoint heatmap logits."""
+    return _decoder_apply(params["goal_decoder"], features)
+
+
+def pred_traj(params, features_with_waypoints):
+    """(B,H,W,pred_len) trajectory heatmap logits."""
+    return _decoder_apply(params["traj_decoder"], features_with_waypoints)
+
+
+def count_params(tree) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))

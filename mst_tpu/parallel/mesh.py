@@ -1,0 +1,74 @@
+"""Device mesh + sharding helpers.
+
+The reference is strictly single-process single-GPU (models/trainer.py:54-58,
+no distributed backend anywhere). Here scaling is a first-class
+jax.sharding.Mesh: the batch axis shards over 'data', params/optimizer state
+replicate, and XLA emits the gradient all-reduce over ICI. Evaluation reuses
+the same axis for the folded (K-sample x batch) dimension.
+"""
+
+import math
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape=None, axis_names=("data",), devices=None):
+    """Build a Mesh; default = all devices on one 'data' axis."""
+    devices = devices if devices is not None else jax.devices()
+    if mesh_shape is None:
+        mesh_shape = (len(devices),)
+    n = math.prod(mesh_shape)
+    assert n <= len(devices), (mesh_shape, len(devices))
+    dev_array = np.asarray(devices[:n]).reshape(mesh_shape)
+    return Mesh(dev_array, axis_names)
+
+
+def data_sharding(mesh):
+    """Shard axis 0 over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch: dict):
+    """Place a host batch on the mesh: per-trajectory arrays shard over
+    'data' on axis 0, scene-level arrays replicate."""
+    if mesh is None:
+        return batch
+    ds = data_sharding(mesh)
+    rep = replicated(mesh)
+    out = {}
+    for k, v in batch.items():
+        if k in ("semantic", "image"):
+            out[k] = jax.device_put(v, rep)
+        else:
+            out[k] = jax.device_put(v, ds)
+    return out
+
+
+def replicate_tree(mesh, tree):
+    if mesh is None:
+        return tree
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int):
+    """Pad the trajectory axis so it divides the mesh's data axis; padded
+    rows carry mask=0 so they contribute nothing."""
+    n = batch["traj"].shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return batch
+    out = dict(batch)
+    for k in ("traj", "mask", "meta_ids"):
+        if k in batch:
+            v = batch[k]
+            pad_shape = (rem,) + v.shape[1:]
+            out[k] = np.concatenate([v, np.zeros(pad_shape, v.dtype)], axis=0)
+    return out

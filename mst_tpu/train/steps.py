@@ -1,0 +1,362 @@
+"""Jitted train / eval steps.
+
+The reference's hot loops (utils/train_epoch.py:44-126 and
+utils/evaluate.py:109-291) interleave Python, host-side template slicing and
+per-sample decoder loops. Here each is ONE compiled XLA program per scene
+shape bucket:
+
+- heatmap construction is fused on-device rasterization (mst_tpu.ops.heatmap),
+- the multi-goal eval folds the K-sample axis into the batch (chunked with
+  lax.map to bound decoder activation memory) instead of a Python loop,
+- gradients flow only through the trainable partition of the parameter
+  pytree; under a Mesh, XLA inserts the data-axis all-reduce.
+
+Functions are built per static config by `make_train_step` / `make_eval_step`
+and cached by (image shape, batch size) bucket through jax.jit.
+"""
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mst_tpu.models import ynet as ynet_lib
+from mst_tpu.ops.heatmap import rasterize_dist, rasterize_gaussian
+from mst_tpu.ops.kmeans import batched_kmeans
+from mst_tpu.ops.pooling import avg_pool_pyramid
+from mst_tpu.ops.sampling import sample_heatmap
+from mst_tpu.ops.softargmax import softargmax2d, softargmax_on_prob_map
+from mst_tpu.train.freeze import merge_params
+from mst_tpu.train.losses import bce_with_logits
+
+
+class StepConfig(NamedTuple):
+    """Static hyper-parameters shared by train/eval steps (from the flat
+    params dict; reference: config/*.yaml + models/trainer.py:80-87)."""
+    obs_len: int
+    pred_len: int
+    waypoints: tuple
+    template_size: int  # int(4200 * resize_factor), trainer.py:61
+    kernlen: int
+    nsig: float
+    loss_scale: float
+    resize_factor: float
+    temperature: float
+    n_goal: int
+    n_traj: int
+    use_ttst: bool = False
+    rel_threshold: float = 0.01
+    use_cws: bool = False
+    cws_params: Any = None
+    eval_k_chunk: int = 0  # 0 -> all K at once
+    swap_semantic: bool = False
+    compute_dtype: Any = jnp.float32
+
+
+def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None):
+    """semantic (B or 1, H, W, C) + traj (B, T, 2) -> model inputs."""
+    B = traj.shape[0]
+    H, W = semantic.shape[-3], semantic.shape[-2]
+    semantic = ynet_lib.adapt_semantic(params, mcfg, semantic)
+    if scfg.swap_semantic:
+        from mst_tpu.data.images import swap_pavement_terrain
+        semantic = swap_pavement_terrain(semantic)
+    if semantic.shape[0] != B:
+        semantic = jnp.broadcast_to(semantic,
+                                    (B,) + semantic.shape[1:])
+    obs = traj[:, :scfg.obs_len]
+    observed_map = jnp.moveaxis(
+        rasterize_dist(obs, H, W, scfg.template_size), 1, -1)  # (B,H,W,obs)
+    if mcfg.network == "embed":
+        semantic = ynet_lib.scene_embedding(params, mcfg, semantic)
+        observed_map = ynet_lib.motion_embedding(params, mcfg, observed_map)
+    return semantic, observed_map
+
+
+def _masked_mean(x, mask):
+    return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
+    """Build the jitted train step.
+
+    Step signature:
+      (trainable, frozen, state, opt_state, batch) ->
+      (trainable, state, opt_state, metrics)
+    batch: dict(semantic (1,H,W,C) preprocessed/segmented scene,
+                traj (B,total_len,2), mask (B,)).
+
+    Equivalent work to utils/train_epoch.py:44-126 but fused on device.
+    """
+    waypoints = jnp.asarray(scfg.waypoints)
+
+    def loss_fn(trainable, frozen, state, batch):
+        params = merge_params(trainable, frozen)
+        traj = batch["traj"]
+        mask = batch["mask"]
+        H, W = batch["semantic"].shape[-3], batch["semantic"].shape[-2]
+
+        semantic, observed_map = _prepare_inputs(
+            mcfg, scfg, params, batch["semantic"], traj, train=True)
+
+        gt_future = traj[:, scfg.obs_len:]
+        gt_future_map = jnp.moveaxis(
+            rasterize_gaussian(gt_future, H, W, scfg.kernlen, scfg.nsig),
+            1, -1)  # (B,H,W,pred)
+        gt_waypoints = gt_future[:, waypoints]
+        gt_waypoint_map = jnp.moveaxis(
+            rasterize_dist(gt_waypoints, H, W, scfg.template_size), 1, -1)
+
+        features, new_state = ynet_lib.pred_features(
+            params, state, mcfg, semantic, observed_map, train=True)
+        pred_goal_map = ynet_lib.pred_goal(params, features)
+        goal_loss = bce_with_logits(pred_goal_map, gt_future_map,
+                                    mask) * scfg.loss_scale
+
+        wp_pyramid = avg_pool_pyramid(gt_waypoint_map, len(features))
+        traj_in = [jnp.concatenate([f, w], axis=-1)
+                   for f, w in zip(features, wp_pyramid)]
+        pred_traj_map = ynet_lib.pred_traj(params, traj_in)
+        traj_loss = bce_with_logits(pred_traj_map, gt_future_map,
+                                    mask) * scfg.loss_scale
+        loss = goal_loss + traj_loss
+
+        # top-1 softargmax train metrics (train_epoch.py:117-126)
+        pred_traj_pts = softargmax2d(
+            jnp.moveaxis(pred_traj_map, -1, 1))  # (B,pred,2)
+        pred_goal_pts = softargmax2d(
+            jnp.moveaxis(pred_goal_map[..., -1:], -1, 1))  # (B,1,2)
+        ade = jnp.sqrt(((gt_future - pred_traj_pts) / scfg.resize_factor)
+                       ** 2).sum(-1)
+        ade = jnp.sqrt((((gt_future - pred_traj_pts) / scfg.resize_factor)
+                        ** 2).sum(-1)).mean(-1)
+        fde = jnp.sqrt((((gt_future[:, -1:] - pred_goal_pts[:, -1:])
+                         / scfg.resize_factor) ** 2).sum(-1)).mean(-1)
+        metrics = {
+            "loss": loss,
+            "goal_loss": goal_loss,
+            "traj_loss": traj_loss,
+            "ade_sum": jnp.sum(ade * mask),
+            "fde_sum": jnp.sum(fde * mask),
+            "n": jnp.sum(mask),
+        }
+        return loss, (new_state, metrics)
+
+    @jax.jit
+    def train_step(trainable, frozen, state, opt_state, batch):
+        grads, (new_state, metrics) = jax.grad(
+            loss_fn, has_aux=True)(trainable, frozen, state, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, new_state, opt_state, metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# evaluation (reference utils/evaluate.py:37-315)
+# ---------------------------------------------------------------------------
+
+def _ttst_goals(key, mcfg, params, pred_waypoint_map, pred_wp_sigmoid, scfg):
+    """Test-Time Sampling Trick (evaluate.py:134-161): 10k threshold samples
+    -> per-person k-means to (n_goal - 1) clusters, prepend the softargmax
+    point. Batched: the per-person loop becomes vmap inside batched_kmeans."""
+    k1, k2 = jax.random.split(key)
+    goal_samples = sample_heatmap(
+        k1, jnp.moveaxis(pred_wp_sigmoid[..., -1:], -1, 1), 10000,
+        rel_threshold=scfg.rel_threshold, replacement=True)  # (B,1,10000,2)
+    goal_samples = goal_samples[:, 0]  # (B, 10000, 2)
+    _, centers = batched_kmeans(k2, goal_samples, scfg.n_goal - 1,
+                                tol=1e-3, iter_limit=100)  # (B, K-1, 2)
+    sam = softargmax2d(jnp.moveaxis(pred_waypoint_map[..., -1:], -1, 1))
+    goals = jnp.concatenate([sam[:, None, 0:1, :],
+                             centers[:, :, None, :]], axis=1)  # (B,K,1,2)
+    return jnp.swapaxes(goals, 0, 1)  # (K, B, 1, 2)
+
+
+def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
+    """Build the jitted multi-goal eval step.
+
+    Signature: (params, state, batch, key) -> metrics dict with per-trajectory
+    minADE/minFDE (B,) and predictions. One program: forward once, sample
+    K_e*K_a goal/waypoint sets, decode all K trajectories with the shared
+    encoder features (K folded into the batch axis, chunked by eval_k_chunk).
+    """
+    waypoints = jnp.asarray(scfg.waypoints)
+    n_wp = len(scfg.waypoints)
+    K = scfg.n_goal * scfg.n_traj
+
+    def decode_chunk(params, features, waypoint_chunk, H, W):
+        """waypoint_chunk (Kc, B, n_wp, 2) -> (Kc, B, pred_len, 2)."""
+        Kc, B = waypoint_chunk.shape[0], waypoint_chunk.shape[1]
+        flat = waypoint_chunk.reshape(Kc * B, n_wp, 2)
+        wmap = jnp.moveaxis(
+            rasterize_dist(flat, H, W, scfg.template_size), 1, -1)
+        pyr = avg_pool_pyramid(wmap, len(features))
+        traj_in = []
+        for f, w in zip(features, pyr):
+            fb = jnp.broadcast_to(f[None], (Kc,) + f.shape).reshape(
+                (Kc * B,) + f.shape[1:])
+            traj_in.append(jnp.concatenate(
+                [fb, w], axis=-1))
+        pred_map = ynet_lib.pred_traj(params, traj_in)  # (Kc*B,H,W,pred)
+        pts = softargmax2d(jnp.moveaxis(pred_map, -1, 1))  # (Kc*B,pred,2)
+        return pts.reshape(Kc, B, scfg.pred_len, 2)
+
+    @jax.jit
+    def eval_step(params, state, batch, key):
+        traj = batch["traj"]
+        mask = batch["mask"]
+        B = traj.shape[0]
+        H, W = batch["semantic"].shape[-3], batch["semantic"].shape[-2]
+
+        semantic, observed_map = _prepare_inputs(
+            mcfg, scfg, params, batch["semantic"], traj, train=False)
+        gt_future = traj[:, scfg.obs_len:]
+
+        features, _ = ynet_lib.pred_features(
+            params, state, mcfg, semantic, observed_map, train=False)
+        pred_goal_map = ynet_lib.pred_goal(params, features)  # (B,H,W,pred)
+        pred_waypoint_map = pred_goal_map[..., waypoints]  # (B,H,W,n_wp)
+        pred_wp_sigmoid = jax.nn.sigmoid(pred_waypoint_map / scfg.temperature)
+
+        kg, kw, kt = jax.random.split(key, 3)
+        # ---- goal sampling (evaluate.py:134-167)
+        if scfg.use_ttst:
+            goal_samples = _ttst_goals(kg, mcfg, params, pred_waypoint_map,
+                                       pred_wp_sigmoid, scfg)  # (K_e,B,1,2)
+        else:
+            gs = sample_heatmap(
+                kg, jnp.moveaxis(pred_wp_sigmoid[..., -1:], -1, 1),
+                scfg.n_goal)  # (B,1,n_goal,2)
+            goal_samples = jnp.transpose(gs, (2, 0, 1, 3))  # (n_goal,B,1,2)
+
+        # ---- waypoint sampling (evaluate.py:172-238)
+        if scfg.use_cws and n_wp > 1:
+            waypoint_samples = _cws(kw, goal_samples, traj, pred_wp_sigmoid,
+                                    scfg, H, W)
+        elif n_wp > 1:
+            ws = sample_heatmap(
+                kw, jnp.moveaxis(pred_wp_sigmoid[..., :-1], -1, 1),
+                scfg.n_goal * scfg.n_traj)  # (B,n_wp-1,K,2)
+            ws = jnp.transpose(ws, (2, 0, 1, 3))  # (K,B,n_wp-1,2)
+            goal_rep = jnp.tile(goal_samples, (scfg.n_traj, 1, 1, 1))
+            waypoint_samples = jnp.concatenate([ws, goal_rep], axis=2)
+        else:
+            waypoint_samples = goal_samples  # (K,B,1,2)
+
+        Ktot = waypoint_samples.shape[0]
+        # ---- decode all K samples against shared features
+        kc = scfg.eval_k_chunk or Ktot
+        if Ktot % kc != 0:
+            kc = Ktot
+        if kc == Ktot:
+            trajs_samples = decode_chunk(params, features, waypoint_samples,
+                                         H, W)
+        else:
+            chunks = waypoint_samples.reshape(
+                Ktot // kc, kc, B, n_wp, 2)
+            trajs_samples = jax.lax.map(
+                lambda wp: decode_chunk(params, features, wp, H, W), chunks)
+            trajs_samples = trajs_samples.reshape(Ktot, B, scfg.pred_len, 2)
+
+        # ---- metrics (evaluate.py:276-291)
+        gt_goal = gt_future[:, -1:]
+        ade_k = jnp.sqrt((((gt_future[None] - trajs_samples)
+                           / scfg.resize_factor) ** 2).sum(-1)).mean(-1)
+        fde_k = jnp.sqrt((((gt_goal[None] - waypoint_samples[:, :, -1:])
+                           / scfg.resize_factor) ** 2).sum(-1))[:, :, 0]
+        ade = ade_k.min(axis=0)  # (B,)
+        fde = fde_k.min(axis=0)  # (B,)
+        best_idx = ade_k.argmin(axis=0)
+        best_traj = jnp.take_along_axis(
+            trajs_samples, best_idx[None, :, None, None], axis=0)[0]
+        return {
+            "ade": ade, "fde": fde, "mask": mask,
+            "ade_sum": jnp.sum(ade * mask), "fde_sum": jnp.sum(fde * mask),
+            "n": jnp.sum(mask),
+            "best_traj": best_traj / scfg.resize_factor,
+        }
+
+    return eval_step
+
+
+def _cws(key, goal_samples, traj, pred_wp_sigmoid, scfg: StepConfig, H, W):
+    """Conditional Waypoint Sampling (evaluate.py:172-226), vectorized.
+
+    goal_samples (K_e, B, 1, 2); returns (K_e*n_traj, B, n_wp, 2).
+    The reference loops over K goals and per-person Gaussians; here the
+    oriented multivariate Gaussian prior is evaluated batched over (K, B).
+    """
+    n_wp = len(scfg.waypoints)
+    sigma_factor = float(scfg.cws_params["sigma_factor"])
+    ratio = float(scfg.cws_params["ratio"])
+    rot = bool(scfg.cws_params["rot"])
+
+    goal_rep = jnp.tile(goal_samples, (scfg.n_traj, 1, 1, 1))  # (K,B,1,2)
+    K, B = goal_rep.shape[0], goal_rep.shape[1]
+    last_observed = traj[:, scfg.obs_len - 1]  # (B,2)
+    goals = goal_rep[:, :, 0]  # (K,B,2)
+
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+
+    def gaussian_prior(mean, dist, sigma_factor_):
+        """mean/dist (K,B,2) -> kernel (K,B,H,W), normalized per map.
+
+        Mirrors torch_multivariate_gaussian_heatmap (evaluate.py:9-34):
+        axes built with linspace(0, H, H) ~ arange scaled by H/(H-1)."""
+        ax = (ys * (H / (H - 1)))[None, None, :] - mean[..., 1][..., None]
+        ay = (xs * (W / (W - 1)))[None, None, :] - mean[..., 0][..., None]
+        radians = jnp.arctan2(dist[..., 0], dist[..., 1])
+        c, s = jnp.cos(radians), jnp.sin(radians)
+        if rot:
+            c, s = -s, c  # pre-multiplied by [[0,-1],[1,0]]
+            R = jnp.stack([jnp.stack([c, s], -1),
+                           jnp.stack([-jnp.cos(radians), jnp.sin(radians)],
+                                     -1)], -2)
+        # R = [[c, s], [-s, c]] (optionally rotated 90deg)
+        cr, sr = jnp.cos(radians), jnp.sin(radians)
+        R = jnp.stack([jnp.stack([cr, sr], -1),
+                       jnp.stack([-sr, cr], -1)], -2)  # (K,B,2,2)
+        if rot:
+            rot90 = jnp.array([[0.0, -1.0], [1.0, 0.0]])
+            R = jnp.einsum("ij,kbjl->kbil", rot90, R)
+        dist_norm = jnp.sqrt((dist ** 2).sum(-1)) + 5.0  # (K,B)
+        d1 = (dist_norm / sigma_factor_ / ratio) ** 2
+        d2 = (dist_norm / sigma_factor_) ** 2
+        conv = jnp.zeros(R.shape).at[..., 0, 0].set(d1).at[..., 1, 1].set(d2)
+        T = jnp.einsum("kbij,kbjl,kbml->kbim", R, conv, R)
+        Tinv = jnp.linalg.inv(T)  # (K,B,2,2)
+        # quadratic form over the (y, x) grid; meshgrid stacks (x, y)
+        gx = ay[:, :, None, :]  # (K,B,1,W)
+        gy = ax[:, :, :, None]  # (K,B,H,1)
+        q = (Tinv[..., 0, 0][..., None, None] * gx * gx
+             + (Tinv[..., 0, 1] + Tinv[..., 1, 0])[..., None, None] * gx * gy
+             + Tinv[..., 1, 1][..., None, None] * gy * gy)
+        kern = jnp.exp(-0.5 * q)
+        return kern / kern.sum(axis=(-2, -1), keepdims=True)
+
+    wp_list = [goals[:, :, None]]  # goal first; built back-to-front
+    samples = goals
+    keys = jax.random.split(key, max(n_wp - 1, 1))
+    traj_idx = (jnp.arange(K) // scfg.n_goal).astype(jnp.float32)  # (K,)
+    for j, wnum in enumerate(reversed(range(n_wp - 1))):
+        distance = last_observed[None] - samples  # (K,B,2)
+        length_ratio = 1.0 / (wnum + 2)
+        gauss_mean = samples + distance * length_ratio
+        sf = sigma_factor - traj_idx[:, None]  # (K,B) per-goal sigma
+        prior = gaussian_prior(gauss_mean, distance, sf[..., None][..., 0])
+        wmap = pred_wp_sigmoid[..., wnum][None] * prior  # (K,B,H,W)
+        wmap = wmap / wmap.sum(axis=(-2, -1), keepdims=True)
+        # first-goal group: softargmax; others: threshold sample
+        sam_pts = softargmax_on_prob_map(wmap)  # (K,B,2)
+        sampled = sample_heatmap(keys[j], wmap, 1, rel_threshold=0.05,
+                                 replacement=False)[:, :, 0]  # (K,B,2)
+        first = (jnp.arange(K) // scfg.n_goal == 0)[:, None, None]
+        samples = jnp.where(first, sam_pts, sampled)
+        wp_list.append(samples[:, :, None])
+    wp = jnp.concatenate(wp_list[::-1], axis=2)  # (K,B,n_wp,2)
+    return wp
