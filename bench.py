@@ -1,0 +1,173 @@
+"""Benchmark: flagship SDD short-term Y-Net multi-goal eval throughput.
+
+Measures trajectories/sec of the full K=20-goal stochastic evaluation
+(encoder + goal decoder + goal sampling + 20 waypoint-conditioned trajectory
+decodes + softargmax + minADE/FDE) at SDD scale on the available accelerator,
+plus the LoRA fine-tune train-step rate. Prints ONE JSON line.
+
+vs_baseline: ratio against the reference-style PyTorch pipeline (host-side
+get_patch template slicing + sequential per-sample decode loop,
+benchmarks/torch_baseline.py) measured once on this machine and cached in
+BENCH_BASELINE.json. The reference repo publishes no throughput numbers
+(BASELINE.md), so the baseline is regenerated locally; torch is CPU-only in
+this image.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+B, H, W = 8, 352, 480  # SDD scale: ~1400x1900 px at resize 0.25, /32-padded
+OBS_LEN, PRED_LEN = 8, 12
+N_GOAL = 20
+WAYPOINTS = (11,)
+ENC = [32, 32, 64, 64, 64]
+DEC = [64, 64, 64, 32, 32]
+N_SEM = 6
+BASELINE_FILE = os.path.join(os.path.dirname(__file__),
+                             "BENCH_BASELINE.json")
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    semantic = rng.normal(size=(1, H, W, N_SEM)).astype(np.float32)
+    trajs = rng.uniform(60, 280,
+                        size=(B, OBS_LEN + PRED_LEN, 2)).astype(np.float32)
+    return semantic, trajs
+
+
+def measure_torch_baseline(n_iter=2):
+    import torch
+
+    from benchmarks import torch_baseline as tb
+
+    torch.manual_seed(0)
+    enc, goal_dec, traj_dec = tb.build(OBS_LEN, PRED_LEN, N_SEM, ENC, DEC,
+                                       len(WAYPOINTS))
+    template_size = int(4200 * 0.25)
+    template = torch.rand(template_size, template_size)
+    semantic, trajs = _inputs()
+    sem_t = torch.tensor(semantic).permute(0, 3, 1, 2)
+    trajs_t = torch.tensor(trajs)
+    # one warmup iteration, then timed
+    tb.eval_iteration(enc, goal_dec, traj_dec, template, sem_t, trajs_t,
+                      OBS_LEN, list(WAYPOINTS), N_GOAL)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(n_iter):
+        n += tb.eval_iteration(enc, goal_dec, traj_dec, template, sem_t,
+                               trajs_t, OBS_LEN, list(WAYPOINTS), N_GOAL)
+    eval_tps = n / (time.perf_counter() - t0)
+
+    opt = torch.optim.Adam(
+        list(enc.parameters()) + list(goal_dec.parameters())
+        + list(traj_dec.parameters()), lr=1e-4)
+    crit = torch.nn.BCEWithLogitsLoss()
+    gt_template = torch.rand(template_size, template_size)
+    tb.train_iteration(enc, goal_dec, traj_dec, opt, crit, gt_template,
+                       template, sem_t, trajs_t, OBS_LEN, list(WAYPOINTS))
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(n_iter):
+        n += tb.train_iteration(enc, goal_dec, traj_dec, opt, crit,
+                                gt_template, template, sem_t, trajs_t,
+                                OBS_LEN, list(WAYPOINTS))
+    train_tps = n / (time.perf_counter() - t0)
+    return {"eval_traj_per_sec": eval_tps, "train_traj_per_sec": train_tps,
+            "device": "torch-cpu"}
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)
+    base = measure_torch_baseline()
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(base, f, indent=1)
+    return base
+
+
+def measure_jax(n_iter=20):
+    import jax
+    import optax
+
+    from mst_tpu import config as config_lib
+    from mst_tpu.models import ynet as ynet_lib
+    from mst_tpu.train import freeze as freeze_lib
+    from mst_tpu.train import steps as steps_lib
+
+    params_dict = config_lib.get_params(
+        config_filename="sdd_shortterm_train.yaml",
+        overrides=dict(train_net="mosa_2",
+                       position=["0", "1", "2", "3", "4"],
+                       segmentation_model_fp=None, batch_size=B))
+    mcfg = config_lib.ynet_config(params_dict)
+    params, state = ynet_lib.init_ynet(jax.random.PRNGKey(0), mcfg)
+    scfg = steps_lib.StepConfig(
+        obs_len=OBS_LEN, pred_len=PRED_LEN, waypoints=WAYPOINTS,
+        template_size=int(4200 * 0.25), kernlen=31, nsig=4.0,
+        loss_scale=1000.0, resize_factor=0.25, temperature=1.0,
+        n_goal=N_GOAL, n_traj=1, eval_k_chunk=0)
+
+    semantic, trajs = _inputs()
+    batch = {"semantic": semantic, "traj": trajs,
+             "mask": np.ones(B, np.float32)}
+    batch = jax.tree.map(jax.numpy.asarray, batch)
+
+    # ---- eval throughput
+    eval_step = steps_lib.make_eval_step(mcfg, scfg)
+    key = jax.random.PRNGKey(0)
+    out = eval_step(params, state, batch, key)  # compile
+    jax.block_until_ready(out["ade"])
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        out = eval_step(params, state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(out["ade"])
+    eval_tps = B * n_iter / (time.perf_counter() - t0)
+
+    # ---- LoRA fine-tune step throughput
+    mask = freeze_lib.trainable_mask(params, "mosa_2",
+                                     ["0", "1", "2", "3", "4"])
+    trainable, frozen = freeze_lib.split_params(params, mask)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(trainable)
+    train_step = steps_lib.make_train_step(mcfg, scfg, optimizer)
+    trainable, state2, opt_state, metrics = train_step(
+        trainable, frozen, state, opt_state, batch)  # compile
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        trainable, state2, opt_state, metrics = train_step(
+            trainable, frozen, state2, opt_state, batch)
+    jax.block_until_ready(metrics["loss"])
+    train_tps = B * n_iter / (time.perf_counter() - t0)
+    return {"eval_traj_per_sec": eval_tps, "train_traj_per_sec": train_tps,
+            "device": str(jax.devices()[0])}
+
+
+def _log(msg):
+    import sys
+
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    t0 = time.perf_counter()
+    ours = measure_jax()
+    _log(f"jax measured in {time.perf_counter() - t0:.1f}s: {ours}")
+    t0 = time.perf_counter()
+    base = get_baseline()
+    _log(f"baseline ready in {time.perf_counter() - t0:.1f}s: {base}")
+    vs = ours["eval_traj_per_sec"] / base["eval_traj_per_sec"]
+    print(json.dumps({
+        "metric": "eval_traj_per_sec",
+        "value": round(ours["eval_traj_per_sec"], 3),
+        "unit": "trajectories/sec (K=20 multi-goal eval, SDD-scale)",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Semantic-segmentation backbone (U-Net / ResNet101, smp-compatible).
+
+The reference ships the backbone as a *pickled torch module*
+(models/ynet.py:495-507, torch.load of an smp Unet('resnet101')). Here it is
+a functional JAX U-Net whose parameters are converted ONCE from the released
+.pth into a plain array pytree (mst_tpu.models.convert) — weights as data,
+never pickled code. The backbone is always frozen during Y-Net training
+(reference trainer.py:113-114) unless a 'segmentation_*' strategy selects
+parts of it.
+
+Until converted weights are present, `load_params` accepts .npz pytrees; an
+absent file (or segmentation_model_fp=None) falls back to the identity
+backbone, matching the reference's nn.Identity path (ynet.py:507).
+"""
+
+import os
+
+import numpy as np
+
+
+def load_params(path):
+    """Load converted backbone weights (.npz flat pytree) or None."""
+    from mst_tpu.train.checkpoints import load_checkpoint, unflatten_dict
+
+    if path is None or not os.path.exists(path):
+        return None
+    return unflatten_dict(load_checkpoint(path))
+
+
+def apply(params, image, use_features_only=False):
+    """(B, H, W, 3) preprocessed image -> (B, H, W, n_classes) logits.
+
+    Identity when params is None (reference ynet.py:507).
+    """
+    if params is None:
+        return image
+    from mst_tpu.models.unet import unet_apply
+
+    return unet_apply(params, image, use_features_only=use_features_only)

@@ -1,0 +1,92 @@
+"""Checkpointing: flat-keyed npz pytrees + JSON metadata sidecars.
+
+Matches the reference's checkpoint policy (models/trainer.py:586-614):
+- full checkpoints exclude the segmentation backbone,
+- *delta* checkpoints store only the trainable partition (the requires_grad
+  set in the reference),
+- restore overlays: load base then delta, both non-strict.
+Unlike the reference, hyperparameters live in a JSON sidecar instead of being
+parsed out of the filename (utils/util.py:78-122) — the filename codec is
+still emitted for tooling parity (mst_tpu.config.get_ckpt_name).
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from mst_tpu.train.freeze import path_to_str
+
+
+def flatten_tree(tree, prefix=""):
+    """pytree -> {path: np.ndarray} with '/'-joined string keys."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {path_to_str(path): np.asarray(leaf) for path, leaf in flat}
+
+
+def unflatten_dict(flat: dict):
+    """{path: array} -> nested dict pytree."""
+    out = {}
+    for key, val in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out
+
+
+def save_checkpoint(path, params, metadata=None, exclude_segmentation=True):
+    """Save a params pytree (None leaves skipped) + JSON metadata."""
+    flat = {}
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(
+            params, is_leaf=lambda x: x is None)[0]:
+        if leaf is None:
+            continue
+        k = path_to_str(key_path)
+        if exclude_segmentation and k.startswith("segmentation"):
+            continue  # trainer.py:596-597
+        flat[k] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+    if metadata is not None:
+        with open(str(path) + ".json", "w") as f:
+            json.dump(metadata, f, indent=1, default=str)
+
+
+def load_checkpoint(path):
+    """-> flat {path: np.ndarray} dict."""
+    with np.load(path if str(path).endswith(".npz") else path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def overlay_checkpoint(params, flat, strict=False):
+    """Overlay flat checkpoint values onto a params pytree (non-strict:
+    unknown keys are ignored, missing params keep their init — the
+    load_state_dict(strict=False) semantics of trainer.py:588,606-614)."""
+    params_flat = flatten_tree(params)
+    unknown = [k for k in flat if k not in params_flat]
+    if strict and unknown:
+        raise KeyError(f"unknown checkpoint keys: {unknown[:5]}...")
+
+    def visit(node, prefix):
+        if isinstance(node, dict):
+            return {k: visit(v, f"{prefix}/{k}" if prefix else k)
+                    for k, v in node.items()}
+        if prefix in flat:
+            arr = np.asarray(flat[prefix])
+            assert arr.shape == tuple(np.shape(node)), \
+                f"{prefix}: ckpt {arr.shape} vs model {np.shape(node)}"
+            return jax.numpy.asarray(arr, dtype=jax.numpy.result_type(node))
+        return node
+
+    return visit(params, "")
+
+
+def load_separated(params, base_path, delta_path):
+    """Base checkpoint then adapter delta, both non-strict
+    (trainer.py:606-614)."""
+    params = overlay_checkpoint(params, load_checkpoint(base_path))
+    params = overlay_checkpoint(params, load_checkpoint(delta_path))
+    return params

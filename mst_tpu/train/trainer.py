@@ -1,0 +1,408 @@
+"""Experiment driver — the YNetTrainer-equivalent façade.
+
+Same lifecycle as the reference trainer (models/trainer.py:45-614): build,
+restore, freeze by strategy, train with smooth-val/early-stop/best-ckpt
+policy, multi-round stochastic test — but the compute core is a pair of
+jitted programs per scene-shape bucket (mst_tpu.train.steps), parameters are
+partitioned pytrees rather than mutated modules, and the batch axis shards
+over a device mesh when one is provided.
+"""
+
+import collections
+import copy
+import os
+import time
+
+import jax
+import numpy as np
+import optax
+import pandas as pd
+
+from mst_tpu import config as config_lib
+from mst_tpu.data import images as images_lib
+from mst_tpu.data import scenes as scenes_lib
+from mst_tpu.models import segmentation as seg_lib
+from mst_tpu.models import ynet as ynet_lib
+from mst_tpu.parallel import mesh as mesh_lib
+from mst_tpu.train import checkpoints as ckpt_lib
+from mst_tpu.train import freeze as freeze_lib
+from mst_tpu.train import steps as steps_lib
+
+_IMAGE_FILES = {"sdd": "reference.jpg", "ind-dataset-v1.0": "reference.png",
+                "eth": "oracle.png"}
+
+
+class Experiment:
+    """sklearn-style train/test façade over the functional core."""
+
+    def __init__(self, params: dict, mesh=None, images=None):
+        self.params = dict(params)
+        self.mcfg = config_lib.ynet_config(self.params)
+        self.division_factor = 2 ** len(self.params["encoder_channels"])
+        self.template_size = int(4200 * self.params["resize_factor"])
+        self.mesh = mesh
+        self._images_override = images
+        self._key = jax.random.PRNGKey(int(self.params.get("seed", 1)))
+
+        init_key, self._key = jax.random.split(self._key)
+        self.model_params, self.model_state = ynet_lib.init_ynet(
+            init_key, self.mcfg)
+        if self.mcfg.segmentation:
+            self.model_params["segmentation"] = seg_lib.load_params(
+                self.params["segmentation_model_fp"])
+        self.val_ADE, self.val_FDE = [], []
+        self.eval_ADE, self.eval_FDE = [], []
+
+    # -- checkpoint API (reference trainer.py:586-614) ----------------------
+    def load_params(self, path):
+        self.model_params = ckpt_lib.overlay_checkpoint(
+            self.model_params, ckpt_lib.load_checkpoint(path))
+
+    def save_params(self, path, train_net=None, mask=None):
+        train_net = train_net or self.params.get("train_net", "train")
+        if train_net in ("all", "train") or mask is None and train_net in (
+                "all", "train"):
+            ckpt_lib.save_checkpoint(path, self.model_params,
+                                     metadata=self._ckpt_metadata())
+        else:
+            if mask is None:
+                mask = self._trainable_mask()
+            trainable, _ = freeze_lib.split_params(self.model_params, mask)
+            ckpt_lib.save_checkpoint(path, trainable,
+                                     metadata=self._ckpt_metadata(),
+                                     exclude_segmentation=False)
+
+    def load_separated_params(self, pretrained_path, tuned_path):
+        self.model_params = ckpt_lib.load_separated(
+            self.model_params, pretrained_path, tuned_path)
+
+    def _ckpt_metadata(self):
+        keys = ("train_net", "position", "network", "n_fusion", "seed", "lr",
+                "n_train_batch", "ynet_bias")
+        return {k: self.params.get(k) for k in keys}
+
+    def _trainable_mask(self):
+        return freeze_lib.trainable_mask(
+            self.model_params, self.params.get("train_net", "train"),
+            self.params.get("position", ()), self.params.get("network"),
+            self.params.get("ynet_bias", False))
+
+    # -- data ---------------------------------------------------------------
+    def _image_file(self, dataset_name):
+        return _IMAGE_FILES.get(dataset_name.lower(), "reference.jpg")
+
+    def prepare_data(self, df, image_path, mode, augment=False, rng=None):
+        """df + image dir -> list of fixed-shape SceneBatch.
+
+        Mirrors trainer.py:518-584: load scene images, optionally augment
+        (train only), resize/pad/normalize, group trajectories per scene.
+        """
+        p = self.params
+        dataset_name = p["dataset_name"].lower()
+        seg_mask = dataset_name == "eth"
+        if self._images_override is not None:
+            raw = {k: np.asarray(v) for k, v in self._images_override.items()
+                   if k in set(df.sceneId.unique())}
+        else:
+            raw = images_lib.load_images(
+                df.sceneId.unique(), image_path,
+                self._image_file(dataset_name), p.get("use_raw_data", False),
+                seg_mask)
+        if augment:
+            df, raw = images_lib.augment_data(df, raw)
+        images = images_lib.preprocess_scene_images(
+            raw, p["resize_factor"], self.division_factor, seg_mask,
+            p["n_semantic_classes"])
+        total_len = p["obs_len"] + p["pred_len"]
+        batch_size = int(p["batch_size"])
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            batch_size = -(-batch_size // n_data) * n_data
+        return scenes_lib.make_scene_batches(
+            df, images, total_len, batch_size, p["resize_factor"],
+            shuffle=(mode == "train"), rng=rng)
+
+    def _semantic_for(self, batch, cache):
+        """Segmentation backbone output per scene, cached per data pass
+        (the reference computes it once per scene per epoch,
+        train_epoch.py:34-38)."""
+        if batch.scene_id not in cache:
+            img = batch.image[None]  # (1,H,W,C)
+            if "segmentation" in self.model_params:
+                sem = seg_lib.apply(self.model_params["segmentation"], img,
+                                    self.mcfg.use_features_only)
+            else:
+                sem = img
+            cache[batch.scene_id] = np.asarray(sem)
+        return cache[batch.scene_id]
+
+    def _step_config(self, eval_k_chunk=None):
+        p = self.params
+        return steps_lib.StepConfig(
+            obs_len=p["obs_len"], pred_len=p["pred_len"],
+            waypoints=tuple(p["waypoints"]),
+            template_size=self.template_size,
+            kernlen=p["kernlen"], nsig=float(p["nsig"]),
+            loss_scale=float(p["loss_scale"]),
+            resize_factor=float(p["resize_factor"]),
+            temperature=float(p["temperature"]),
+            n_goal=int(p["n_goal"]), n_traj=int(p["n_traj"]),
+            use_ttst=bool(p.get("use_TTST", False)),
+            rel_threshold=float(p.get("rel_threshold", 0.01)),
+            use_cws=bool(p.get("use_CWS", False)),
+            cws_params=p.get("CWS_params"),
+            eval_k_chunk=int(eval_k_chunk if eval_k_chunk is not None
+                             else p.get("eval_k_chunk", 0)),
+            swap_semantic=bool(p.get("swap_semantic", False)),
+        )
+
+    def _device_batch(self, batch, semantic):
+        db = {"semantic": semantic,
+              "traj": batch.trajectories,
+              "mask": batch.mask}
+        if self.mesh is not None:
+            db = mesh_lib.shard_batch(self.mesh, db)
+        return db
+
+    # -- train (reference trainer.py:80-293) --------------------------------
+    def train(self, df_train, df_val, train_image_path, val_image_path,
+              experiment_name):
+        p = self.params
+        t0 = time.time()
+        rng = np.random.default_rng(int(p.get("seed", 1)))
+        train_batches = self.prepare_data(
+            df_train, train_image_path, "train",
+            augment=p.get("augment", False), rng=rng)
+        val_batches = self.prepare_data(df_val, val_image_path, "val")
+
+        mask = self._trainable_mask()
+        n_trainable = freeze_lib.count_trainable(mask, self.model_params)
+        print(f"The number of trainable parameters: {n_trainable:d}")
+        trainable, frozen = freeze_lib.split_params(self.model_params, mask)
+
+        lr = float(p["lr"])
+        fine_tune = bool(p.get("fine_tune", False))
+        steps_per_epoch = max(len(train_batches), 1)
+        if fine_tune and p.get("steps"):
+            boundaries = {int(m) * steps_per_epoch: float(
+                p.get("lr_decay_ratio", 0.1)) for m in p["steps"]}
+            schedule = optax.piecewise_constant_schedule(lr, boundaries)
+        else:
+            schedule = lr
+        optimizer = optax.adam(schedule)
+        opt_state = optimizer.init(trainable)
+
+        scfg = self._step_config()
+        train_step = steps_lib.make_train_step(self.mcfg, scfg, optimizer)
+        eval_step = steps_lib.make_eval_step(self.mcfg, scfg)
+
+        best_val_ade = float("inf")
+        best_epoch = 0
+        best_snapshot = None
+        self.val_ADE, self.val_FDE = [], []
+        window_size = int(p.get("window_size", 9))
+        smooth_val = bool(p.get("smooth_val", False))
+        half_window = window_size // 2 + 1
+        snapshots = collections.deque()
+        n_early_stop = int(p.get("n_early_stop", 300))
+
+        state = self.model_state
+        for e in range(int(p["n_epoch"])):
+            # ---- one training epoch
+            seg_cache = {}
+            if p.get("shuffle", True):
+                rng.shuffle(train_batches)
+            ade_sum = fde_sum = loss_sum = n_sum = 0.0
+            for batch in train_batches:
+                semantic = self._semantic_for(batch, seg_cache)
+                db = self._device_batch(batch, semantic)
+                trainable, state, opt_state, metrics = train_step(
+                    trainable, frozen, state, opt_state, db)
+                ade_sum += float(metrics["ade_sum"])
+                fde_sum += float(metrics["fde_sum"])
+                loss_sum += float(metrics["loss"])
+                n_sum += float(metrics["n"])
+            train_ade = ade_sum / max(n_sum, 1)
+            train_fde = fde_sum / max(n_sum, 1)
+
+            # ---- validation (TTST/CWS off, trainer.py:229-235)
+            self.model_params = freeze_lib.merge_params(trainable, frozen)
+            self.model_state = state
+            ekey = jax.random.fold_in(self._key, e)
+            val_ade, val_fde, _, _ = self._evaluate(
+                val_batches, eval_step, ekey)
+            self.val_ADE.append(val_ade)
+            self.val_FDE.append(val_fde)
+            print(f"Epoch {e}: \tTrain (Top-1) ADE: {train_ade:.2f} "
+                  f"FDE: {train_fde:.2f} \t\tVal (Top-k) ADE: {val_ade:.2f} "
+                  f"FDE: {val_fde:.2f}")
+
+            # ---- smooth-val ckpt selection (trainer.py:248-267)
+            snapshot = jax.tree.map(np.asarray, trainable)
+            if smooth_val:
+                if len(snapshots) == half_window:
+                    current = snapshots.popleft()
+                else:
+                    current = None
+                snapshots.append(snapshot)
+                if e < window_size:
+                    sel_ade = best_val_ade + 1
+                else:
+                    sel_ade = sum(self.val_ADE[-window_size:]) / window_size
+            else:
+                current = snapshot
+                sel_ade = val_ade
+
+            if sel_ade < best_val_ade:
+                best_val_ade = sel_ade
+                best_epoch = e - half_window + 1 if smooth_val else e
+                best_snapshot = current
+                if not fine_tune:
+                    config_lib.ensure_dir(p["ckpt_path"])
+                    self._save_full_or_delta(
+                        f'{p["ckpt_path"]}/{experiment_name}_weights.npz',
+                        mask)
+
+            if (e + 1) % int(p.get("save_every_n", 10)) == 0:
+                config_lib.ensure_dir(p["ckpt_path"])
+                self.save_params(
+                    f'{p["ckpt_path"]}/{experiment_name}__epoch_{e}.npz',
+                    mask=mask)
+
+            # early stop on clear overfitting (trainer.py:279-281)
+            if fine_tune and self.val_ADE and \
+                    best_val_ade < min(self.val_ADE[-n_early_stop:]):
+                print(f"Early stop at epoch {e}")
+                break
+
+        print(f"Best epoch at {best_epoch}")
+        if best_epoch != 0 and best_snapshot is not None:
+            trainable = jax.tree.map(
+                lambda a, b: b if a is None else jax.numpy.asarray(a),
+                best_snapshot, trainable, is_leaf=lambda x: x is None)
+        self.model_params = freeze_lib.merge_params(trainable, frozen)
+        self.model_state = state
+        config_lib.ensure_dir(p["ckpt_path"])
+        self.save_params(f'{p["ckpt_path"]}/{experiment_name}.npz', mask=mask)
+        print(f"train wall-clock: {time.time() - t0:.1f}s")
+        return self.val_ADE, self.val_FDE
+
+    def _save_full_or_delta(self, path, mask):
+        train_net = self.params.get("train_net", "train")
+        if train_net in ("all", "train"):
+            ckpt_lib.save_checkpoint(path, self.model_params,
+                                     metadata=self._ckpt_metadata())
+        else:
+            trainable, _ = freeze_lib.split_params(self.model_params, mask)
+            ckpt_lib.save_checkpoint(path, trainable,
+                                     metadata=self._ckpt_metadata(),
+                                     exclude_segmentation=False)
+
+    # -- evaluation (reference trainer.py:295-352) ---------------------------
+    def _evaluate(self, batches, eval_step, key, collect_preds=False):
+        seg_cache = {}
+        ade_sum = fde_sum = n_sum = 0.0
+        rows = []
+        trajs = {"prediction": [], "metaId": []} if collect_preds else None
+        for i, batch in enumerate(batches):
+            semantic = self._semantic_for(batch, seg_cache)
+            db = self._device_batch(batch, semantic)
+            out = eval_step(self.model_params, self.model_state, db,
+                            jax.random.fold_in(key, i))
+            m = np.asarray(out["mask"]).astype(bool)
+            ade = np.asarray(out["ade"])[m]
+            fde = np.asarray(out["fde"])[m]
+            ade_sum += ade.sum()
+            fde_sum += fde.sum()
+            n_sum += m.sum()
+            rows.append(pd.DataFrame({
+                "metaId": batch.meta_ids[m], "sceneId": batch.scene_id,
+                "ade": ade, "fde": fde}))
+            if collect_preds:
+                trajs["prediction"].append(np.asarray(out["best_traj"])[m])
+                trajs["metaId"].append(batch.meta_ids[m])
+        df = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame()
+        return (ade_sum / max(n_sum, 1), fde_sum / max(n_sum, 1), df, trajs)
+
+    def test(self, df_test, image_path, return_preds=False,
+             return_samples=False):
+        p = self.params
+        batches = self.prepare_data(df_test, image_path, "test")
+        eval_step = steps_lib.make_eval_step(self.mcfg, self._step_config())
+        self.eval_ADE, self.eval_FDE = [], []
+        list_metrics, list_trajs = [], []
+        print("TTST setting:", p.get("use_TTST", False))
+        for e in range(int(p.get("n_round", 1))):
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(int(p.get("seed", 1))), 10_000 + e)
+            ade, fde, df_metrics, trajs = self._evaluate(
+                batches, eval_step, key, collect_preds=return_preds)
+            list_metrics.append(df_metrics)
+            list_trajs.append(trajs)
+            print(f"Round {e}: \nTest ADE: {ade} \nTest FDE: {fde}")
+            self.eval_ADE.append(ade)
+            self.eval_FDE.append(fde)
+        avg_ade = sum(self.eval_ADE) / len(self.eval_ADE)
+        avg_fde = sum(self.eval_FDE) / len(self.eval_FDE)
+        print(f"\nAverage performance (by {p.get('n_round', 1)}): "
+              f"\nTest ADE: {avg_ade} \nTest FDE: {avg_fde}")
+        return avg_ade, avg_fde, list_metrics, list_trajs
+
+    # -- probe forward (reference trainer.py:354-516) ------------------------
+    def forward_test(self, df_test, image_path, set_input=(),
+                     noisy_std_frac=None, decision="loss"):
+        """Single-scene probe forward with optional input noise; returns
+        losses or prediction maps for activation analysis."""
+        import jax.numpy as jnp
+
+        from mst_tpu.ops.heatmap import rasterize_dist, rasterize_gaussian
+        from mst_tpu.ops.pooling import avg_pool_pyramid
+        from mst_tpu.train.losses import bce_with_logits
+
+        p = self.params
+        batches = self.prepare_data(df_test, image_path, "test")
+        scene_ids = {b.scene_id for b in batches}
+        if len(scene_ids) != 1:
+            raise ValueError(f"Received {len(scene_ids)} scenes, expected 1")
+        batch = batches[0]
+        traj = jnp.asarray(np.concatenate(
+            [b.trajectories[b.mask.astype(bool)] for b in batches]))
+        semantic = jnp.asarray(self._semantic_for(batch, {}))
+        H, W = semantic.shape[1:3]
+
+        key = jax.random.fold_in(self._key, 777)
+        if noisy_std_frac is not None and "semantic" in set_input:
+            std = noisy_std_frac * (semantic.max() - semantic.min())
+            semantic = semantic + std * jax.random.normal(
+                key, semantic.shape)
+        semantic = ynet_lib.adapt_semantic(self.model_params, self.mcfg,
+                                           semantic)
+        obs = traj[:, :p["obs_len"]]
+        gt_future = traj[:, p["obs_len"]:]
+        observed_map = jnp.moveaxis(
+            rasterize_dist(obs, H, W, self.template_size), 1, -1)
+        if noisy_std_frac is not None and "traj" in set_input:
+            std = noisy_std_frac * (observed_map.max() - observed_map.min())
+            observed_map = observed_map + std * jax.random.normal(
+                jax.random.fold_in(key, 1), observed_map.shape)
+        gt_map = jnp.moveaxis(rasterize_gaussian(
+            gt_future, H, W, p["kernlen"], float(p["nsig"])), 1, -1)
+        semantic_b = jnp.broadcast_to(
+            semantic, (traj.shape[0],) + semantic.shape[1:])
+        features, _ = ynet_lib.pred_features(
+            self.model_params, self.model_state, self.mcfg, semantic_b,
+            observed_map, train=False)
+        pred_goal_map = ynet_lib.pred_goal(self.model_params, features)
+        goal_loss = bce_with_logits(pred_goal_map, gt_map) * p["loss_scale"]
+        wp = jnp.asarray(p["waypoints"])
+        wp_map = pred_goal_map[..., wp]
+        pyr = avg_pool_pyramid(wp_map, len(features))
+        traj_in = [jnp.concatenate([f, w], axis=-1)
+                   for f, w in zip(features, pyr)]
+        pred_traj_map = ynet_lib.pred_traj(self.model_params, traj_in)
+        traj_loss = bce_with_logits(pred_traj_map, gt_map) * p["loss_scale"]
+        if decision == "loss":
+            return goal_loss, traj_loss, semantic
+        if decision == "map":
+            return pred_goal_map, pred_traj_map, semantic
+        raise ValueError(f"No support for decision={decision}")

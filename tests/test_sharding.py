@@ -1,0 +1,91 @@
+"""Multi-device tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from mst_tpu import config as config_lib
+from mst_tpu.data.synthetic import make_synthetic_dataset
+from mst_tpu.parallel import mesh as mesh_lib
+from mst_tpu.train import freeze as freeze_lib
+from mst_tpu.train import steps as steps_lib
+from mst_tpu.train.trainer import Experiment
+
+TOTAL_LEN = 12
+
+
+def _params(tmp_path, **over):
+    p = config_lib.get_params(overrides=dict(
+        obs_len=4, pred_len=8, waypoints=[7], n_semantic_classes=3,
+        encoder_channels=[8, 8, 16, 16, 16],
+        decoder_channels=[16, 16, 16, 8, 8], kernlen=31, nsig=4,
+        loss_scale=1000, resize_factor=0.25, temperature=1.0, n_goal=4,
+        n_traj=1, batch_size=8, lr=1e-3, n_epoch=1, dataset_name="sdd",
+        ckpt_path=str(tmp_path), train_net="train", network="original",
+        n_round=1, seed=1, segmentation_model_fp=None))
+    p.update(over)
+    return p
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_data_parallel_train_step_matches_single(tmp_path):
+    """The sharded train step computes the same update as single-device."""
+    df, images = make_synthetic_dataset(seed=0, n_scenes=1, n_traj=8,
+                                        total_len=TOTAL_LEN)
+    params = _params(tmp_path)
+    mesh = mesh_lib.make_mesh((8,))
+
+    results = {}
+    for name, m in [("single", None), ("mesh", mesh)]:
+        exp = Experiment(params, mesh=m, images=images)
+        batches = exp.prepare_data(df, None, "val")
+        batch = batches[0]
+        semantic = exp._semantic_for(batch, {})
+        db = exp._device_batch(batch, semantic)
+        mask = exp._trainable_mask()
+        trainable, frozen = freeze_lib.split_params(exp.model_params, mask)
+        if m is not None:
+            trainable = mesh_lib.replicate_tree(m, trainable)
+            frozen = mesh_lib.replicate_tree(m, frozen)
+        optimizer = optax.adam(1e-3)
+        opt_state = optimizer.init(trainable)
+        step = steps_lib.make_train_step(exp.mcfg, exp._step_config(),
+                                         optimizer)
+        for _ in range(2):
+            trainable, state, opt_state, metrics = step(
+                trainable, frozen, exp.model_state, opt_state, db)
+        results[name] = (jax.tree.map(np.asarray, trainable),
+                         float(metrics["loss"]))
+
+    np.testing.assert_allclose(results["single"][1], results["mesh"][1],
+                               rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
+        results["single"][0], results["mesh"][0])
+
+
+def test_data_parallel_eval(tmp_path):
+    df, images = make_synthetic_dataset(seed=0, n_scenes=1, n_traj=16,
+                                        total_len=TOTAL_LEN)
+    params = _params(tmp_path, batch_size=16)
+    mesh = mesh_lib.make_mesh((8,))
+    exp = Experiment(params, mesh=mesh, images=images)
+    batches = exp.prepare_data(df, None, "test")
+    eval_step = steps_lib.make_eval_step(exp.mcfg, exp._step_config())
+    ade, fde, df_out, _ = exp._evaluate(batches, eval_step,
+                                        jax.random.PRNGKey(0))
+    assert np.isfinite(ade) and np.isfinite(fde)
+    assert df_out.metaId.nunique() == 16
+
+
+def test_batch_padding_to_mesh_multiple():
+    batch = {"traj": np.zeros((5, 12, 2), np.float32),
+             "mask": np.ones(5, np.float32),
+             "meta_ids": np.arange(5)}
+    out = mesh_lib.pad_batch_to_multiple(batch, 8)
+    assert out["traj"].shape[0] == 8
+    assert out["mask"].sum() == 5

@@ -1,0 +1,151 @@
+"""End-to-end: train + multi-goal eval + checkpoints on a synthetic scene.
+
+CPU-runnable equivalent of the reference's train.py/test.py flow, using the
+identity segmentation backbone (reference ynet.py:507) with 3 'semantic'
+channels = the raw image.
+"""
+
+import numpy as np
+import pytest
+
+from mst_tpu import config as config_lib
+from mst_tpu.data.synthetic import make_synthetic_dataset
+from mst_tpu.train.trainer import Experiment
+
+TOTAL_LEN = 12
+OBS_LEN = 4
+
+
+def make_params(tmp_path, **over):
+    params = config_lib.get_params(overrides=dict(
+        obs_len=OBS_LEN, pred_len=TOTAL_LEN - OBS_LEN, waypoints=[7],
+        n_semantic_classes=3, encoder_channels=[8, 8, 16, 16, 16],
+        decoder_channels=[16, 16, 16, 8, 8], kernlen=31, nsig=4,
+        loss_scale=1000, resize_factor=0.25, temperature=1.0,
+        n_goal=5, n_traj=1, batch_size=4, lr=3e-4, n_epoch=2,
+        dataset_name="sdd", ckpt_path=str(tmp_path), train_net="train",
+        network="original", n_round=1, seed=1, shuffle=False,
+        save_every_n=100, segmentation_model_fp=None,
+    ))
+    params.update(over)
+    return params
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    df, images = make_synthetic_dataset(
+        seed=0, n_scenes=2, n_traj=10, total_len=TOTAL_LEN,
+        img_hw=(240, 320))
+    n_meta = df.metaId.nunique()
+    ids = df.metaId.unique()
+    df_train = df[df.metaId.isin(ids[:n_meta - 6])]
+    df_val = df[df.metaId.isin(ids[n_meta - 6:n_meta - 3])]
+    df_test = df[df.metaId.isin(ids[n_meta - 3:])]
+    return df_train, df_val, df_test, images
+
+
+def test_train_eval_loop(tmp_path, dataset):
+    df_train, df_val, df_test, images = dataset
+    params = make_params(tmp_path)
+    exp = Experiment(params, images=images)
+
+    val_ade, val_fde = exp.train(df_train, df_val, None, None, "e2e_test")
+    assert len(val_ade) == 2
+    assert all(np.isfinite(val_ade)) and all(np.isfinite(val_fde))
+
+    ade, fde, dfs, _ = exp.test(df_test, None)
+    assert np.isfinite(ade) and np.isfinite(fde)
+    assert len(dfs) == 1
+    assert set(dfs[0].columns) == {"metaId", "sceneId", "ade", "fde"}
+    assert dfs[0].metaId.nunique() == df_test.metaId.nunique()
+    # predictions are at image scale; a sane model stays within ~2 images
+    assert ade < 4 * 320
+
+
+def test_training_reduces_loss(tmp_path, dataset):
+    """Loss should drop markedly when overfitting a few trajectories."""
+    import jax
+
+    from mst_tpu.train import freeze as freeze_lib
+    from mst_tpu.train import steps as steps_lib
+    import optax
+
+    df_train, _, _, images = dataset
+    params = make_params(tmp_path, lr=1e-3)
+    exp = Experiment(params, images=images)
+    batches = exp.prepare_data(df_train, None, "val")  # no shuffle
+    batch = batches[0]
+    semantic = exp._semantic_for(batch, {})
+    db = exp._device_batch(batch, semantic)
+
+    mask = exp._trainable_mask()
+    trainable, frozen = freeze_lib.split_params(exp.model_params, mask)
+    optimizer = optax.adam(3e-3)
+    opt_state = optimizer.init(trainable)
+    step = steps_lib.make_train_step(exp.mcfg, exp._step_config(), optimizer)
+    state = exp.model_state
+    losses = []
+    for _ in range(40):
+        trainable, state, opt_state, metrics = step(
+            trainable, frozen, state, opt_state, db)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+def test_checkpoint_roundtrip_and_delta(tmp_path, dataset):
+    df_train, df_val, df_test, images = dataset
+    params = make_params(tmp_path)
+    exp = Experiment(params, images=images)
+    base_path = str(tmp_path / "base.npz")
+    exp.save_params(base_path, train_net="train")
+
+    # fine-tune only LoRA params, save delta, reload via overlay
+    ft_params = make_params(
+        tmp_path, train_net="mosa_2", position=["0", "1"], fine_tune=True,
+        n_epoch=1, lr=5e-3)
+    ft = Experiment(ft_params, images=images)
+    ft.load_params(base_path)
+    # base conv weights must equal the pretrained ones after load
+    np.testing.assert_allclose(
+        np.asarray(ft.model_params["encoder"]["stages"]["1"]["conv0"]
+                   ["weight"]),
+        np.asarray(exp.model_params["encoder"]["stages"]["1"]["conv0"]
+                   ["weight"]))
+    ft.train(df_train, df_val, None, None, "ft_test")
+    delta_path = str(tmp_path / "ft_test.npz")
+    import os
+    assert os.path.exists(delta_path)
+    import numpy as np_
+    with np_.load(delta_path) as z:
+        keys = list(z.files)
+    assert keys and all("lora" in k for k in keys), keys[:5]
+
+    # restore base + delta overlay (reference trainer.py:606-614)
+    probe = Experiment(ft_params, images=images)
+    probe.load_separated_params(base_path, delta_path)
+    lora_b = np.asarray(
+        probe.model_params["encoder"]["stages"]["0"]["conv0"]["lora_B"])
+    assert np.abs(lora_b).max() > 0, "delta overlay not applied"
+    ade, fde, _, _ = probe.test(df_test, None)
+    assert np.isfinite(ade) and np.isfinite(fde)
+
+
+def test_init_check_equivalence(tmp_path, dataset):
+    """Zero-init adapters reproduce the base model's test metrics exactly
+    (the reference's --init_check, train.py:47-59)."""
+    df_train, df_val, df_test, images = dataset
+    base = Experiment(make_params(tmp_path), images=images)
+    base_path = str(tmp_path / "base_ic.npz")
+    base.save_params(base_path, train_net="train")
+
+    plain = Experiment(make_params(tmp_path), images=images)
+    plain.load_params(base_path)
+    adapted = Experiment(
+        make_params(tmp_path, train_net="mosa_2", position=["0", "1", "2"]),
+        images=images)
+    adapted.load_params(base_path)
+
+    ade_p, fde_p, _, _ = plain.test(df_test, None)
+    ade_a, fde_a, _, _ = adapted.test(df_test, None)
+    np.testing.assert_allclose(ade_p, ade_a, rtol=1e-5)
+    np.testing.assert_allclose(fde_p, fde_a, rtol=1e-5)
