@@ -93,6 +93,10 @@ def measure_jax(n_iter=20):
     import jax
     import optax
 
+    from mst_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mst_tpu import config as config_lib
     from mst_tpu.models import ynet as ynet_lib
     from mst_tpu.train import freeze as freeze_lib
@@ -109,7 +113,10 @@ def measure_jax(n_iter=20):
         obs_len=OBS_LEN, pred_len=PRED_LEN, waypoints=WAYPOINTS,
         template_size=int(4200 * 0.25), kernlen=31, nsig=4.0,
         loss_scale=1000.0, resize_factor=0.25, temperature=1.0,
-        n_goal=N_GOAL, n_traj=1, eval_k_chunk=0)
+        n_goal=N_GOAL, n_traj=1,
+        # chunk the folded K axis: 4x8=32-sample decoder passes bound HBM
+        # and keep the compiled program compact
+        eval_k_chunk=4)
 
     semantic, trajs = _inputs()
     batch = {"semantic": semantic, "traj": trajs,

@@ -1,0 +1,91 @@
+"""Structured metrics + stdout-log scraping.
+
+The reference records metrics by regex-scraping stdout logs
+(utils/extract_log.py, utils/extract_training_curve.py,
+evaluator/write_files.py). This framework emits structured JSONL natively
+(MetricsLogger) and keeps regex scrapers for the same stdout format — the
+Experiment driver prints byte-compatible 'Round N: / Test ADE:' lines
+(mst_tpu/train/trainer.py), so the reference's tooling workflow still works.
+"""
+
+import json
+import pathlib
+import re
+import time
+
+import pandas as pd
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics sink (one dict per line)."""
+
+    def __init__(self, path):
+        self.path = pathlib.Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def log(self, **kv):
+        kv.setdefault("time", time.time())
+        with open(self.path, "a") as f:
+            f.write(json.dumps(kv, default=float) + "\n")
+
+    def read(self):
+        rows = []
+        with open(self.path) as f:
+            for line in f:
+                rows.append(json.loads(line))
+        return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# stdout scraping (reference utils/extract_log.py)
+# ---------------------------------------------------------------------------
+
+_AVG_RE = (r"Average performance \(by [\d]+\): \nTest ADE: ([\d\.]+) \n"
+           r"Test FDE: ([\d\.]+)")
+
+
+def extract_test_metrics(text):
+    """'Average performance' blocks -> DataFrame [ade, fde]
+    (reference extract_log.py:44-71)."""
+    rows = [{"ade": float(a), "fde": float(f)}
+            for a, f in re.findall(_AVG_RE, text)]
+    return pd.DataFrame(rows)
+
+
+def extract_train_metrics(text):
+    """Per-experiment summary rows from a train log
+    (reference extract_log.py:8-41)."""
+    rows = []
+    for msg in re.split(r"Experiment ", text)[1:]:
+        experiment = msg.split(" has started")[0]
+        n_param = re.search(
+            r"The number of trainable parameters: ([\d]+)", msg)
+        early = re.search(r"Early stop at epoch ([\d]+)", msg)
+        metric = re.search(_AVG_RE, msg)
+        rows.append({
+            "experiment": experiment,
+            "n_param": int(n_param.group(1)) if n_param else 0,
+            "n_epoch": int(early.group(1)) if early else None,
+            "ade": float(metric.group(1)) if metric else None,
+            "fde": float(metric.group(2)) if metric else None,
+        })
+    return pd.DataFrame(rows)
+
+
+def extract_epoch_curve(text):
+    """'Epoch e: Train ... Val ...' lines -> per-epoch DataFrame
+    (reference utils/extract_training_curve.py:10-32)."""
+    pat = (r"Epoch (\d+): \tTrain \(Top-1\) ADE: ([\d\.]+) "
+           r"FDE: ([\d\.]+) \t\tVal \(Top-k\) ADE: ([\d\.]+) "
+           r"FDE: ([\d\.]+)")
+    rows = [{"epoch": int(e), "train_ade": float(ta), "train_fde": float(tf),
+             "val_ade": float(va), "val_fde": float(vf)}
+            for e, ta, tf, va, vf in re.findall(pat, text)]
+    return pd.DataFrame(rows)
+
+
+def write_csv(df, out_path):
+    """reference evaluator/write_files.py:8-21."""
+    pathlib.Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    df.to_csv(out_path, index=False)
+    return out_path

@@ -1,0 +1,195 @@
+"""Torch -> JAX checkpoint conversion (offline tool).
+
+Converts the reference's released torch checkpoints into this framework's
+flat-npz pytrees:
+
+- Y-Net checkpoints (full `*_weights.pt` state dicts and adapter-only delta
+  dicts, reference trainer.py:594-604) via `convert_torch_ynet`;
+- the segmentation backbone: the reference ships a *pickled module*
+  (torch.load, ynet.py:495-502) — extract its .state_dict() with
+  segmentation_models_pytorch installed, then feed it here
+  (`convert_torch_segmentation`).
+
+Conv weights move OIHW -> HWIO; loralib lora_A/lora_B factors are kept
+as-is (mst_tpu.models.layers evaluates the same (B @ A).view(...) / r
+merged-weight formula); BatchNorm running stats land in the model *state*
+pytree for adapters and inside the frozen backbone params for segmentation.
+
+CLI:
+  python -m mst_tpu.models.convert ynet in.pt out.npz [--position 0 1 ...]
+  python -m mst_tpu.models.convert segmentation in_state_dict.pt out.npz
+"""
+
+import argparse
+import re
+
+import numpy as np
+
+
+def _hwio(w):
+    w = np.asarray(w)
+    return np.transpose(w, (2, 3, 1, 0)) if w.ndim == 4 else w
+
+
+def _map_decoder_key(rest):
+    """'center.0.weight' etc -> our decoder path, or None."""
+    m = re.match(r"center\.(\d+)\.(\w+)$", rest)
+    if m:
+        idx = {0: "0", 2: "1"}[int(m.group(1))]
+        return f"center/{idx}/{m.group(2)}"
+    m = re.match(r"upsample_conv\.(\d+)\.(\w+)$", rest)
+    if m:
+        return f"upsample/{m.group(1)}/{m.group(2)}"
+    m = re.match(r"decoder\.(\d+)\.(\d+)\.(\w+)$", rest)
+    if m:
+        idx = {0: "0", 2: "1"}[int(m.group(2))]
+        return f"blocks/{m.group(1)}/{idx}/{m.group(3)}"
+    m = re.match(r"predictor\.(\w+)$", rest)
+    if m:
+        return f"predictor/{m.group(1)}"
+    return None
+
+
+def _map_stage_conv(stage: str, j: int) -> str:
+    """torch Sequential index -> conv slot (stage 0: [conv, relu];
+    stages>=1: [pool, conv, relu, conv, relu], reference ynet.py:192-211)."""
+    if stage == "0":
+        return "conv0"
+    return {1: "conv0", 3: "conv1"}[j]
+
+
+_BN_STATE_KEYS = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def convert_torch_ynet(state_dict, position=()):
+    """torch YNet state dict -> (flat params dict, flat state dict)."""
+    params, state = {}, {}
+    position = [str(p) for p in position]
+
+    def put(path, key, val):
+        leaf = "num_batches" if key == "num_batches_tracked" else key
+        target = state if key in _BN_STATE_KEYS else params
+        target[f"{path}/{leaf}"] = (
+            _hwio(val) if leaf == "weight" and np.asarray(val).ndim == 4
+            else np.asarray(val))
+
+    for name, val in state_dict.items():
+        val = np.asarray(getattr(val, "numpy", lambda: val)()
+                         if hasattr(val, "numpy") else val)
+        if name.startswith("semantic_segmentation"):
+            continue  # convert separately (convert_torch_segmentation)
+
+        # ---- encoders (plain + fusion branches)
+        m = re.match(
+            r"encoder\.(stages|scene_stages|motion_stages|fusion_stages)"
+            r"\.(\d+)\.(\d+)\.(.+)$", name)
+        if m:
+            group, stage, j, rest = m.groups()
+            conv = _map_stage_conv(stage, int(j))
+            base = f"encoder/{group}/{stage}/{conv}"
+            # in-layer adapters: rest like 'serial_layer.0.weight' (BN),
+            # 'serial_layer.1.weight' (conv), 'parallel_layer.k.weight'
+            am = re.match(r"serial_layer\.(\d+)\.(\w+)$", rest)
+            if am:
+                sub = {0: "bn", 1: "conv"}[int(am.group(1))]
+                put(f"{base}/serial_layer/{sub}", am.group(2), val)
+                continue
+            am = re.match(r"parallel_layer\.(\d+)\.(\w+)$", rest)
+            if am:
+                put(f"{base}/parallel_layer/{am.group(1)}", am.group(2), val)
+                continue
+            am = re.match(r"parallel_layer\.(\w+)$", rest)
+            if am:
+                put(f"{base}/parallel_layer/0", am.group(1), val)
+                continue
+            put(base, rest, val)  # weight / bias / lora_A / lora_B
+            continue
+
+        # ---- block adapters (YNetEncoderB, indexed by order -> position)
+        m = re.match(r"encoder\.adapters\.(\d+)\.(.+)$", name)
+        if m:
+            j, rest = m.groups()
+            pos = position[int(j)] if int(j) < len(position) else j
+            base = f"encoder/adapters/{pos}"
+            am = re.match(r"serial_layer\.(\d+)\.(\w+)$", rest)
+            if am:
+                sub = {0: "bn", 1: "conv"}[int(am.group(1))]
+                put(f"{base}/serial_layer/{sub}", am.group(2), val)
+                continue
+            am = re.match(r"parallel_layer\.(\d+)\.(\w+)$", rest)
+            if am:
+                put(f"{base}/parallel_layer/{am.group(1)}", am.group(2), val)
+                continue
+            am = re.match(r"parallel_layer\.(\w+)$", rest)
+            if am:
+                put(f"{base}/parallel_layer/0", am.group(1), val)
+                continue
+            continue
+
+        # ---- decoders
+        m = re.match(r"(goal_decoder|traj_decoder)\.(.+)$", name)
+        if m:
+            mapped = _map_decoder_key(m.group(2))
+            if mapped:
+                params[f"{m.group(1)}/{mapped}"] = _hwio(val)
+            continue
+
+        # ---- semantic adapter + embeddings
+        m = re.match(r"semantic_adapter\.(\w+)$", name)
+        if m:
+            params[f"semantic_adapter/{m.group(1)}"] = _hwio(val)
+            continue
+        m = re.match(r"(scene|motion)_embedding\.conv\.(\d+)\.(\w+)$", name)
+        if m:
+            idx = {0: "0", 2: "1", 4: "2"}[int(m.group(2))]
+            params[f"{m.group(1)}_embedding/{idx}/{m.group(3)}"] = _hwio(val)
+            continue
+    return params, state
+
+
+def convert_torch_segmentation(state_dict, activation="softmax"):
+    """smp Unet('resnet101') state dict -> flat params dict (BN running
+    stats included inline: the backbone runs frozen in eval mode)."""
+    params = {}
+    for name, val in state_dict.items():
+        val = np.asarray(getattr(val, "numpy", lambda: val)()
+                         if hasattr(val, "numpy") else val)
+        name = re.sub(r"^(semantic_segmentation|model)\.", "", name)
+        if name.endswith("num_batches_tracked"):
+            continue
+        path = name.replace(".", "/")
+        if val.ndim == 4:
+            val = _hwio(val)
+        params[path] = val
+    params["_meta/activation"] = np.array(
+        1 if activation == "softmax" else 0)
+    return params
+
+
+def main():
+    import torch
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("kind", choices=["ynet", "segmentation"])
+    parser.add_argument("src")
+    parser.add_argument("dst")
+    parser.add_argument("--position", nargs="+", default=[])
+    parser.add_argument("--activation", default="softmax")
+    args = parser.parse_args()
+
+    sd = torch.load(args.src, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if args.kind == "ynet":
+        params, state = convert_torch_ynet(sd, args.position)
+        np.savez(args.dst, **params)
+        if state:
+            np.savez(args.dst.replace(".npz", "_state.npz"), **state)
+    else:
+        params = convert_torch_segmentation(sd, args.activation)
+        np.savez(args.dst, **params)
+    print(f"converted {len(sd)} torch tensors -> {args.dst}")
+
+
+if __name__ == "__main__":
+    main()

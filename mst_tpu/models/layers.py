@@ -105,9 +105,8 @@ def lora_merged_weight(params, rank):
     w = params["weight"]
     kh, kw, cin, cout = w.shape
     delta = params["lora_B"] @ params["lora_A"]  # (out*k, in*k)
-    delta = delta.reshape(cout, kh, cin, kw)  # torch .view(out, in, k, k) order
-    # torch view (out, in, k, k) from (out*k, in*k): axes (out, k), (in, k)
-    delta = delta.transpose(1, 3, 2, 0)  # -> (kh, kw, cin, cout)
+    # torch does (B @ A).view(out, in, k, k): a plain row-major reshape
+    delta = delta.reshape(cout, cin, kh, kw).transpose(2, 3, 1, 0)  # -> HWIO
     return w + delta * (1.0 / rank)
 
 

@@ -537,5 +537,86 @@ def pred_traj(params, features_with_waypoints):
     return _decoder_apply(params["traj_decoder"], features_with_waypoints)
 
 
+def make_shared_pred_traj(params, features, n_wp: int):
+    """K-sample trajectory decoding with hoisted encoder contributions.
+
+    The eval loop decodes K goal samples against the SAME encoder features
+    (reference evaluate.py:248-266 recomputes the full decoder per sample).
+    Convolution is linear over input channels, so every first conv that sees
+    concat([decoder_path, encoder_feature, waypoint_map]) splits into
+    conv(decoder_path) + conv(encoder_feature) + conv(waypoint_map); the
+    encoder term is K-invariant and computed ONCE per batch here. This avoids
+    broadcasting (B -> K*B) feature maps through HBM and removes the
+    K-redundant encoder-channel FLOPs. Numerics identical to pred_traj up to
+    fp summation order.
+
+    Args:
+      params: full model params; features: list of (B, h, w, c) maps.
+      n_wp: waypoint channels appended at each level.
+
+    Returns:
+      decode(wp_pyramid) where wp_pyramid is a list of (KB, h, w, n_wp)
+      maps (finest first, like avg_pool_pyramid output) and KB is a multiple
+      of B; returns (KB, H, W, pred_len) logits.
+    """
+    d = params["traj_decoder"]
+    L = len(features)
+    feats_rev = features[::-1]
+    B = features[0].shape[0]
+
+    def conv_slice(conv_params, x, lo, hi, bias=False):
+        w = conv_params["weight"][:, :, lo:hi, :]
+        p = {"weight": w}
+        if bias and "bias" in conv_params:
+            p["bias"] = conv_params["bias"]
+        return layers.conv2d_apply(p, x)
+
+    enc_ch = [f.shape[-1] for f in feats_rev]  # coarsest-first channels
+
+    # center block first conv input = concat(f_coarsest, wp_coarsest)
+    center_enc = conv_slice(d["center"]["0"], feats_rev[0], 0, enc_ch[0])
+    # block i first conv input = concat(up_out, f_i+1, wp_i+1)
+    up_out = [d["upsample"][str(i)]["weight"].shape[-1] for i in range(L - 1)]
+    block_enc = []
+    for i in range(L - 1):
+        lo = up_out[i]
+        hi = lo + enc_ch[i + 1]
+        block_enc.append(conv_slice(d["blocks"][str(i)]["0"],
+                                    feats_rev[i + 1], lo, hi))
+
+    def tile(x, KB):
+        reps = KB // B
+        return jnp.broadcast_to(x[None], (reps,) + x.shape).reshape(
+            (KB,) + x.shape[1:])
+
+    def decode(wp_pyramid):
+        KB = wp_pyramid[0].shape[0]
+        wp_rev = wp_pyramid[::-1]
+        # center
+        c0 = d["center"]["0"]
+        x = (tile(center_enc, KB)
+             + conv_slice(c0, wp_rev[0], enc_ch[0], enc_ch[0] + n_wp))
+        if "bias" in c0:
+            x = x + c0["bias"]
+        x = jax.nn.relu(x)
+        x = jax.nn.relu(layers.conv2d_apply(d["center"]["1"], x))
+        for i in range(L - 1):
+            x = upsample_bilinear_2x(x)
+            x = layers.conv2d_apply(d["upsample"][str(i)], x)
+            b0 = d["blocks"][str(i)]["0"]
+            lo = up_out[i]
+            hi = lo + enc_ch[i + 1]
+            y = (conv_slice(b0, x, 0, lo)
+                 + tile(block_enc[i], KB)
+                 + conv_slice(b0, wp_rev[i + 1], hi, hi + n_wp))
+            if "bias" in b0:
+                y = y + b0["bias"]
+            x = jax.nn.relu(y)
+            x = jax.nn.relu(layers.conv2d_apply(d["blocks"][str(i)]["1"], x))
+        return layers.conv2d_apply(d["predictor"], x)
+
+    return decode
+
+
 def count_params(tree) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))

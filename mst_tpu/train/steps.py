@@ -20,6 +20,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from mst_tpu.models import ynet as ynet_lib
@@ -177,52 +178,33 @@ def _ttst_goals(key, mcfg, params, pred_waypoint_map, pred_wp_sigmoid, scfg):
 
 
 def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
-    """Build the jitted multi-goal eval step.
+    """Build the multi-goal eval step.
 
     Signature: (params, state, batch, key) -> metrics dict with per-trajectory
-    minADE/minFDE (B,) and predictions. One program: forward once, sample
-    K_e*K_a goal/waypoint sets, decode all K trajectories with the shared
-    encoder features (K folded into the batch axis, chunked by eval_k_chunk).
+    minADE/minFDE (B,) and predictions. Compiled as TWO device programs
+    orchestrated from the host — (1) forward+sampling, (2) one K-chunk of
+    waypoint-conditioned trajectory decodes against the shared encoder
+    features — because one monolithic program at SDD scale takes ~5 min of
+    XLA compile while the split compiles in well under a minute and runs at
+    the same steady-state rate. min-over-K metrics are O(K*B*T) and computed
+    on host.
     """
     waypoints = jnp.asarray(scfg.waypoints)
     n_wp = len(scfg.waypoints)
-    K = scfg.n_goal * scfg.n_traj
-
-    def decode_chunk(params, features, waypoint_chunk, H, W):
-        """waypoint_chunk (Kc, B, n_wp, 2) -> (Kc, B, pred_len, 2)."""
-        Kc, B = waypoint_chunk.shape[0], waypoint_chunk.shape[1]
-        flat = waypoint_chunk.reshape(Kc * B, n_wp, 2)
-        wmap = jnp.moveaxis(
-            rasterize_dist(flat, H, W, scfg.template_size), 1, -1)
-        pyr = avg_pool_pyramid(wmap, len(features))
-        traj_in = []
-        for f, w in zip(features, pyr):
-            fb = jnp.broadcast_to(f[None], (Kc,) + f.shape).reshape(
-                (Kc * B,) + f.shape[1:])
-            traj_in.append(jnp.concatenate(
-                [fb, w], axis=-1))
-        pred_map = ynet_lib.pred_traj(params, traj_in)  # (Kc*B,H,W,pred)
-        pts = softargmax2d(jnp.moveaxis(pred_map, -1, 1))  # (Kc*B,pred,2)
-        return pts.reshape(Kc, B, scfg.pred_len, 2)
 
     @jax.jit
-    def eval_step(params, state, batch, key):
+    def forward(params, state, batch, key):
         traj = batch["traj"]
-        mask = batch["mask"]
-        B = traj.shape[0]
         H, W = batch["semantic"].shape[-3], batch["semantic"].shape[-2]
-
         semantic, observed_map = _prepare_inputs(
             mcfg, scfg, params, batch["semantic"], traj, train=False)
-        gt_future = traj[:, scfg.obs_len:]
-
         features, _ = ynet_lib.pred_features(
             params, state, mcfg, semantic, observed_map, train=False)
         pred_goal_map = ynet_lib.pred_goal(params, features)  # (B,H,W,pred)
         pred_waypoint_map = pred_goal_map[..., waypoints]  # (B,H,W,n_wp)
         pred_wp_sigmoid = jax.nn.sigmoid(pred_waypoint_map / scfg.temperature)
 
-        kg, kw, kt = jax.random.split(key, 3)
+        kg, kw = jax.random.split(key)
         # ---- goal sampling (evaluate.py:134-167)
         if scfg.use_ttst:
             goal_samples = _ttst_goals(kg, mcfg, params, pred_waypoint_map,
@@ -246,30 +228,48 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
             waypoint_samples = jnp.concatenate([ws, goal_rep], axis=2)
         else:
             waypoint_samples = goal_samples  # (K,B,1,2)
+        return features, waypoint_samples
 
-        Ktot = waypoint_samples.shape[0]
-        # ---- decode all K samples against shared features
+    @jax.jit
+    def decode_and_score(params, features, waypoint_samples, traj, mask):
+        """All K decodes (lax.map over chunks, body compiled once) + the
+        min-over-K metrics (evaluate.py:248-291). Encoder contributions to
+        the trajectory decoder are hoisted out of the K loop
+        (ynet.make_shared_pred_traj): conv linearity makes them K-invariant.
+        """
+        H, W = features[0].shape[-3], features[0].shape[-2]
+        decode = ynet_lib.make_shared_pred_traj(params, features, n_wp)
+
+        def decode_chunk(waypoint_chunk):
+            """(Kc, B, n_wp, 2) -> (Kc, B, pred_len, 2)."""
+            Kc, B = waypoint_chunk.shape[0], waypoint_chunk.shape[1]
+            flat = waypoint_chunk.reshape(Kc * B, n_wp, 2)
+            wmap = jnp.moveaxis(
+                rasterize_dist(flat, H, W, scfg.template_size), 1, -1)
+            pyr = avg_pool_pyramid(wmap, len(features))
+            pred_map = decode(pyr)  # (Kc*B,H,W,pred)
+            pts = softargmax2d(jnp.moveaxis(pred_map, -1, 1))
+            return pts.reshape(Kc, B, scfg.pred_len, 2)
+
+        Ktot, B = waypoint_samples.shape[0], waypoint_samples.shape[1]
         kc = scfg.eval_k_chunk or Ktot
         if Ktot % kc != 0:
             kc = Ktot
         if kc == Ktot:
-            trajs_samples = decode_chunk(params, features, waypoint_samples,
-                                         H, W)
+            trajs_samples = decode_chunk(waypoint_samples)
         else:
-            chunks = waypoint_samples.reshape(
-                Ktot // kc, kc, B, n_wp, 2)
+            chunks = waypoint_samples.reshape(Ktot // kc, kc, B, n_wp, 2)
             trajs_samples = jax.lax.map(
-                lambda wp: decode_chunk(params, features, wp, H, W), chunks)
-            trajs_samples = trajs_samples.reshape(Ktot, B, scfg.pred_len, 2)
+                decode_chunk, chunks).reshape(Ktot, B, scfg.pred_len, 2)
 
-        # ---- metrics (evaluate.py:276-291)
-        gt_goal = gt_future[:, -1:]
+        gt_future = traj[:, scfg.obs_len:]
         ade_k = jnp.sqrt((((gt_future[None] - trajs_samples)
                            / scfg.resize_factor) ** 2).sum(-1)).mean(-1)
-        fde_k = jnp.sqrt((((gt_goal[None] - waypoint_samples[:, :, -1:])
+        fde_k = jnp.sqrt((((gt_future[None, :, -1:]
+                            - waypoint_samples[:, :, -1:])
                            / scfg.resize_factor) ** 2).sum(-1))[:, :, 0]
-        ade = ade_k.min(axis=0)  # (B,)
-        fde = fde_k.min(axis=0)  # (B,)
+        ade = ade_k.min(axis=0)
+        fde = fde_k.min(axis=0)
         best_idx = ade_k.argmin(axis=0)
         best_traj = jnp.take_along_axis(
             trajs_samples, best_idx[None, :, None, None], axis=0)[0]
@@ -279,6 +279,11 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
             "n": jnp.sum(mask),
             "best_traj": best_traj / scfg.resize_factor,
         }
+
+    def eval_step(params, state, batch, key):
+        features, waypoint_samples = forward(params, state, batch, key)
+        return decode_and_score(params, features, waypoint_samples,
+                                batch["traj"], batch["mask"])
 
     return eval_step
 

@@ -27,6 +27,9 @@ from mst_tpu.parallel import mesh as mesh_lib
 from mst_tpu.train import checkpoints as ckpt_lib
 from mst_tpu.train import freeze as freeze_lib
 from mst_tpu.train import steps as steps_lib
+from mst_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 _IMAGE_FILES = {"sdd": "reference.jpg", "ind-dataset-v1.0": "reference.png",
                 "eth": "oracle.png"}
