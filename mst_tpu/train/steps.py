@@ -28,7 +28,8 @@ from mst_tpu.ops.heatmap import rasterize_dist, rasterize_gaussian
 from mst_tpu.ops.kmeans import batched_kmeans
 from mst_tpu.ops.pooling import avg_pool_pyramid
 from mst_tpu.ops.sampling import sample_heatmap
-from mst_tpu.ops.softargmax import softargmax2d, softargmax_on_prob_map
+from mst_tpu.ops.softargmax import (softargmax2d, softargmax2d_auto,
+                                    softargmax_on_prob_map)
 from mst_tpu.train.freeze import merge_params
 from mst_tpu.train.losses import bce_with_logits
 
@@ -129,8 +130,6 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
             jnp.moveaxis(pred_traj_map, -1, 1))  # (B,pred,2)
         pred_goal_pts = softargmax2d(
             jnp.moveaxis(pred_goal_map[..., -1:], -1, 1))  # (B,1,2)
-        ade = jnp.sqrt(((gt_future - pred_traj_pts) / scfg.resize_factor)
-                       ** 2).sum(-1)
         ade = jnp.sqrt((((gt_future - pred_traj_pts) / scfg.resize_factor)
                         ** 2).sum(-1)).mean(-1)
         fde = jnp.sqrt((((gt_future[:, -1:] - pred_goal_pts[:, -1:])
@@ -248,7 +247,7 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
                 rasterize_dist(flat, H, W, scfg.template_size), 1, -1)
             pyr = avg_pool_pyramid(wmap, len(features))
             pred_map = decode(pyr)  # (Kc*B,H,W,pred)
-            pts = softargmax2d(jnp.moveaxis(pred_map, -1, 1))
+            pts = softargmax2d_auto(jnp.moveaxis(pred_map, -1, 1))
             return pts.reshape(Kc, B, scfg.pred_len, 2)
 
         Ktot, B = waypoint_samples.shape[0], waypoint_samples.shape[1]

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# mst_tpu experiment grid (reference-parity protocol)
+set -e
+
+
+batch_size=10
+n_round=3
+network=original
+load_data=sequential
+dataset_path=filter/longterm/agent_type
+extra_flags=""
+list_seed=(1)
+config_filename=inD_longterm_train.yaml
+train_files=scene1/pedestrian.pkl scene2/pedestrian.pkl scene4/pedestrian.pkl
+val_files=scene1/pedestrian.pkl scene2/pedestrian.pkl scene4/pedestrian.pkl
+val_split=0.1
+test_splits=100
+n_epoch=100
+n_early_stop=5
+ckpt_path=ckpts
+
+for seed in ${list_seed[@]}; do
+  python train.py --config_filename $config_filename --seed $seed \
+    --batch_size $batch_size --n_epoch $n_epoch \
+    --n_early_stop $n_early_stop --n_round $n_round \
+    --dataset_path $dataset_path --network $network --load_data $load_data \
+    --train_files $train_files --val_files $val_files \
+    --val_split $val_split --test_splits $test_splits \
+    --train_net train --ckpt_path $ckpt_path --augment $extra_flags
+done

@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# mst_tpu experiment grid (reference-parity protocol)
+set -e
+
+
+batch_size=10
+n_round=3
+network=original
+load_data=predefined
+dataset_path=filter/longterm/agent_type/scene2/pedestrian
+extra_flags=""
+list_seed=(1)
+config_filename=inD_longterm_eval.yaml
+ckpts=ckpts/inD__ynet__ped_134.npz
+
+for seed in ${list_seed[@]}; do
+  python test.py --config_filename $config_filename --seed $seed \
+    --batch_size $batch_size --n_round $n_round \
+    --dataset_path $dataset_path --network $network --load_data $load_data \
+    --ckpts $ckpts --ckpts_name OODG $extra_flags
+done

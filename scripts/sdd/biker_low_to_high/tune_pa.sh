@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# mst_tpu experiment grid (reference-parity protocol)
+set -e
+
+
+batch_size=10
+n_round=3
+network=fusion
+load_data=predefined
+dataset_path=filter/shortterm/avg_vel/Biker/4_8
+extra_flags="--n_fusion 2"
+list_seed=(1 2 3 4 5)
+config_filename=sdd_shortterm_train.yaml
+n_epoch=100
+n_early_stop=30
+steps=20
+pretrained_ckpt=ckpts/sdd__ynetmod__biker_low.npz
+ckpt_path=ckpts/sdd/biker_low_to_high
+list_train_net=(parallelLayer_3x3)
+list_position=("0 1 2 3 4")
+list_n_train_batch=(2)
+list_lr=(0.003)
+
+for seed in ${list_seed[@]}; do
+  for lr in ${list_lr[@]}; do
+    for n_train_batch in ${list_n_train_batch[@]}; do
+      for train_net in ${list_train_net[@]}; do
+        for position in "${list_position[@]}"; do
+          python train.py --fine_tune --config_filename $config_filename \
+            --seed $seed --batch_size $batch_size --n_epoch $n_epoch \
+            --n_early_stop $n_early_stop --n_round $n_round \
+            --dataset_path $dataset_path --network $network \
+            --load_data $load_data --pretrained_ckpt $pretrained_ckpt \
+            --train_net $train_net --position $position \
+            --ckpt_path $ckpt_path --n_train_batch $n_train_batch \
+            --lr $lr --steps $steps --smooth_val $extra_flags
+        done
+      done
+    done
+  done
+done
