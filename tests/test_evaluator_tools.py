@@ -1,0 +1,157 @@
+"""Analysis-tool tests: comparator, importance ablations, log scraping,
+plots — on the synthetic dataset with tiny models."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mst_tpu import config as config_lib
+from mst_tpu.data.synthetic import make_synthetic_dataset
+from mst_tpu.train.trainer import Experiment
+
+TOTAL_LEN = 12
+
+
+def _params(tmp_path, **over):
+    p = config_lib.get_params(overrides=dict(
+        obs_len=4, pred_len=8, waypoints=[7], n_semantic_classes=3,
+        encoder_channels=[8, 8, 16, 16, 16],
+        decoder_channels=[16, 16, 16, 8, 8], kernlen=31, nsig=4,
+        loss_scale=1000, resize_factor=0.25, temperature=1.0, n_goal=4,
+        n_traj=1, batch_size=4, lr=1e-3, n_epoch=1, dataset_name="sdd",
+        ckpt_path=str(tmp_path), train_net="train", network="original",
+        n_round=2, seed=1, segmentation_model_fp=None))
+    p.update(over)
+    return p
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("eval_tools")
+    df, images = make_synthetic_dataset(seed=0, n_scenes=1, n_traj=8,
+                                        total_len=TOTAL_LEN)
+    base = Experiment(_params(tmp), images=images)
+    base_path = str(tmp / "base.npz")
+    base.save_params(base_path, train_net="train")
+
+    ft_params = _params(tmp, train_net="mosa_2", position=["0", "1"])
+    ft = Experiment(ft_params, images=images)
+    ft.load_params(base_path)
+    # perturb a LoRA factor so tuned != base
+    lb = ft.model_params["encoder"]["stages"]["0"]["conv0"]["lora_B"]
+    ft.model_params["encoder"]["stages"]["0"]["conv0"]["lora_B"] = lb + 0.05
+    delta_path = str(tmp / "delta.npz")
+    ft.save_params(delta_path)
+    return tmp, df, images, base_path, delta_path, ft_params
+
+
+def test_compare_checkpoints(setup):
+    from mst_tpu.evaluator.multickpts import compare_checkpoints
+
+    tmp, df, images, base_path, delta_path, ft_params = setup
+    df_result, trajs = compare_checkpoints(
+        ft_params, df, None, [base_path, delta_path],
+        ["OODG", "mosa_2(8)"], [False, True], n_round=2, seed=1,
+        out_dir=str(tmp / "csv"), images=images)
+    assert {"metaId", "sceneId", "ade_OODG", "fde_OODG",
+            "ade_mosa_2(8)", "fde_mosa_2(8)"} <= set(df_result.columns)
+    assert df_result.metaId.nunique() == df.metaId.nunique()
+    import os
+    assert any(f.endswith(".csv") for f in os.listdir(tmp / "csv"))
+
+
+def test_lora_importance(setup):
+    from mst_tpu.evaluator.importance import lora_importance
+
+    tmp, df, images, base_path, delta_path, ft_params = setup
+    model = Experiment(dict(ft_params, n_round=1), images=images)
+    model.load_separated_params(base_path, delta_path)
+    out = lora_importance(model, df, None, max_combo=1)
+    assert set(out.columns) == {"zeroed", "ade", "fde"}
+    # none + 2 single layers... (stage 0 has 1 conv, stage 1 has 2) + all
+    assert (out.zeroed == "none").any() and (out.zeroed == "all").any()
+    assert np.isfinite(out.ade).all()
+
+
+def test_swap_importance(setup):
+    from mst_tpu.evaluator.importance import swap_importance
+    from mst_tpu.train.checkpoints import flatten_tree, load_checkpoint
+
+    tmp, df, images, base_path, delta_path, ft_params = setup
+    model = Experiment(dict(ft_params, n_round=1), images=images)
+    model.load_separated_params(base_path, delta_path)
+    tuned = flatten_tree(model.model_params)
+    pretrained = dict(tuned)
+    for k in pretrained:
+        if "lora" in k:
+            pretrained[k] = np.zeros_like(pretrained[k])
+    out = swap_importance(model, df, None, pretrained, tuned, depth=1)
+    assert {"group", "n_param", "ade", "fde"} <= set(out.columns)
+    assert len(out) >= 3
+
+
+def test_log_scrapers():
+    from mst_tpu.evaluator.logs import (
+        extract_epoch_curve,
+        extract_test_metrics,
+        extract_train_metrics,
+    )
+
+    text = (
+        "Experiment Seed_1__x__mosa_1__original has started\n"
+        "The number of trainable parameters: 123\n"
+        "Epoch 0: \tTrain (Top-1) ADE: 10.50 FDE: 20.25 \t\t"
+        "Val (Top-k) ADE: 9.00 FDE: 15.00\n"
+        "Early stop at epoch 7\n"
+        "Average performance (by 3): \nTest ADE: 32.5 \nTest FDE: 60.125\n")
+    t = extract_test_metrics(text)
+    assert t.iloc[0].ade == 32.5 and t.iloc[0].fde == 60.125
+    tr = extract_train_metrics(text)
+    assert tr.iloc[0].n_param == 123 and tr.iloc[0].n_epoch == 7
+    c = extract_epoch_curve(text)
+    assert c.iloc[0].val_ade == 9.0
+
+
+def test_metrics_logger(tmp_path):
+    from mst_tpu.evaluator.logs import MetricsLogger
+
+    log = MetricsLogger(tmp_path / "m.jsonl")
+    log.log(step=1, loss=2.0)
+    log.log(step=2, loss=1.5)
+    df = log.read()
+    assert list(df.step) == [1, 2]
+
+
+def test_plots(tmp_path, rng):
+    from mst_tpu.evaluator import visualization as viz
+
+    df = pd.DataFrame({
+        "n_train": [10, 10, 30, 30], "train_net": ["mosa"] * 4,
+        "ade": [5.0, 5.5, 4.0, 4.2]})
+    p1 = viz.plot_fewshot_curves(df, str(tmp_path))
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    trajs = rng.uniform(5, 60, size=(3, 12, 2))
+    p2 = viz.plot_trajectories_on_scene(img, trajs, str(tmp_path), "scene",
+                                        obs_len=4, preds=trajs + 2)
+    p3 = viz.plot_goal_map(rng.uniform(size=(32, 32)), str(tmp_path), "gm",
+                           points=[[4, 5], [10, 12]])
+    imp = pd.DataFrame({"group": ["none", "a", "b"],
+                        "ade": [5.0, 6.0, 5.2]})
+    p4 = viz.plot_importance(imp, str(tmp_path))
+    p5 = viz.plot_training_curves([5, 4, 3], [9, 8, 7], str(tmp_path))
+    p6 = viz.plot_input_space(rng.uniform(size=(32, 32, 3)),
+                              rng.uniform(size=(32, 32, 4)), str(tmp_path))
+    import os
+    for p in (p1, p2, p3, p4, p5, p6):
+        assert os.path.exists(p)
+
+
+def test_forward_test_probe(tmp_path):
+    df, images = make_synthetic_dataset(seed=0, n_scenes=1, n_traj=4,
+                                        total_len=TOTAL_LEN)
+    exp = Experiment(_params(tmp_path), images=images)
+    gl, tl, sem = exp.forward_test(df, None, set_input=(), decision="loss")
+    assert np.isfinite(float(gl)) and np.isfinite(float(tl))
+    gm, tm, sem = exp.forward_test(df, None, set_input=("semantic",),
+                                   noisy_std_frac=0.05, decision="map")
+    assert gm.shape[-1] == 8 and np.isfinite(np.asarray(gm)).all()
