@@ -1,0 +1,107 @@
+"""Activation visualization / probe CLI
+(reference evaluator/visualize_activation.py).
+
+Torch uses forward hooks; here intermediate activations are first-class —
+`capture_activations` re-runs the functional forward and returns every
+encoder feature and both decoder output maps, and the CLI plots goal-map
+sigmoid differences between checkpoints for focus trajectories.
+"""
+
+import numpy as np
+
+from mst_tpu import config as config_lib
+from mst_tpu.models import ynet as ynet_lib
+from mst_tpu.utils.seeding import set_random_seeds
+
+
+def capture_activations(model, df_scene, image_path):
+    """Run the probe forward and return a dict of named activations."""
+    import jax.numpy as jnp
+
+    from mst_tpu.ops.heatmap import rasterize_dist
+    from mst_tpu.ops.pooling import avg_pool_pyramid
+
+    p = model.params
+    batches = model.prepare_data(df_scene, image_path, "test")
+    batch = batches[0]
+    traj = jnp.asarray(np.concatenate(
+        [b.trajectories[b.mask.astype(bool)] for b in batches]))
+    semantic = jnp.asarray(model._semantic_for(batch, {}))
+    H, W = semantic.shape[1:3]
+    semantic = ynet_lib.adapt_semantic(model.model_params, model.mcfg,
+                                       semantic)
+    obs = traj[:, :p["obs_len"]]
+    observed_map = jnp.moveaxis(
+        rasterize_dist(obs, H, W, model.template_size), 1, -1)
+    semantic_b = jnp.broadcast_to(semantic,
+                                  (traj.shape[0],) + semantic.shape[1:])
+    feats, _ = ynet_lib.pred_features(model.model_params, model.model_state,
+                                      model.mcfg, semantic_b, observed_map)
+    goal_map = ynet_lib.pred_goal(model.model_params, feats)
+    wp = jnp.asarray(p["waypoints"])
+    pyr = avg_pool_pyramid(goal_map[..., wp], len(feats))
+    traj_in = [jnp.concatenate([f, w], axis=-1) for f, w in zip(feats, pyr)]
+    traj_map = ynet_lib.pred_traj(model.model_params, traj_in)
+    acts = {f"encoder.stage{i}": np.asarray(f) for i, f in enumerate(feats)}
+    acts["semantic"] = np.asarray(semantic)
+    acts["observed_map"] = np.asarray(observed_map)
+    acts["goal_decoder.predictor_output"] = np.asarray(goal_map)
+    acts["traj_decoder.predictor_output"] = np.asarray(traj_map)
+    acts["trajectory"] = np.asarray(traj)
+    return acts
+
+
+def goal_sigmoid_diff(acts_a, acts_b, temperature=1.0):
+    """Sigmoid goal-map difference between two checkpoints
+    (reference visualize_activation.py:66-106)."""
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-x / temperature))
+
+    return (sig(acts_b["goal_decoder.predictor_output"])
+            - sig(acts_a["goal_decoder.predictor_output"]))
+
+
+def main():
+    from mst_tpu.data.splits import prepare_dataset
+    from mst_tpu.evaluator.multickpts import get_meta_ids_focus, restore
+    from mst_tpu.evaluator.visualization import plot_goal_map
+
+    parser = config_lib.get_parser(False)
+    parser.add_argument("--given_meta_ids", default=None, type=int,
+                        nargs="+")
+    parser.add_argument("--random_n", default=None, type=int)
+    parser.add_argument("--out_dir", default="figures/activation")
+    args = parser.parse_args()
+    set_random_seeds(args.seed)
+    params = config_lib.get_params(args)
+    image_path, data_path = config_lib.get_image_and_data_path(params)
+    _, _, df_test = prepare_dataset(
+        data_path, args.load_data, args.batch_size, None, None,
+        args.val_files, args.val_split, args.test_splits, args.shuffle,
+        args.share_val_test, "eval")
+    focus = get_meta_ids_focus(df_test, given_meta_ids=args.given_meta_ids,
+                               random_n=args.random_n)
+    df_test = df_test[df_test.metaId.isin(focus)]
+
+    ckpts, ckpts_name, is_sep = config_lib.get_ckpts_and_names(
+        args.ckpts, args.ckpts_name, args.pretrained_ckpt,
+        args.tuned_ckpts)
+    acts = {}
+    for i, (ckpt, name) in enumerate(zip(ckpts, ckpts_name)):
+        model = restore(params, is_sep[i],
+                        ckpt if not is_sep[i] else ckpts[0],
+                        None if not is_sep[i] else ckpt)
+        acts[name] = capture_activations(model, df_test, image_path)
+        gm = acts[name]["goal_decoder.predictor_output"]
+        plot_goal_map(1 / (1 + np.exp(-gm[0, ..., -1])), args.out_dir,
+                      f"{name}__goal_sigmoid")
+    names = list(acts)
+    if len(names) >= 2:
+        diff = goal_sigmoid_diff(acts[names[0]], acts[names[1]],
+                                 params.get("temperature", 1.0))
+        plot_goal_map(diff[0, ..., -1], args.out_dir,
+                      f"{names[0]}_vs_{names[1]}__goal_diff")
+
+
+if __name__ == "__main__":
+    main()
