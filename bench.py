@@ -114,9 +114,10 @@ def measure_jax(n_iter=20):
         template_size=int(4200 * 0.25), kernlen=31, nsig=4.0,
         loss_scale=1000.0, resize_factor=0.25, temperature=1.0,
         n_goal=N_GOAL, n_traj=1,
-        # chunk the folded K axis: 4x8=32-sample decoder passes bound HBM
-        # and keep the compiled program compact
-        eval_k_chunk=4)
+        # all K at once: the shared-feature decoder removes the K*B feature
+        # broadcast, so the full 160-sample decode fits HBM and runs ~31%
+        # faster than 4-sample chunks
+        eval_k_chunk=0)
 
     semantic, trajs = _inputs()
     batch = {"semantic": semantic, "traj": trajs,

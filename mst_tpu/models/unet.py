@@ -123,8 +123,11 @@ def _resnet_encoder_init(key, layers=RESNET101_LAYERS):
     return params
 
 
-def _resnet_encoder_apply(params, x, layers=RESNET101_LAYERS):
-    """Returns smp-style feature list: [x, stem, layer1..layer4]."""
+def _resnet_encoder_apply(params, x, layers=None):
+    """Returns smp-style feature list: [x, stem, layer1..layer4]. The
+    per-stage block counts are inferred from the params when not given."""
+    if layers is None:
+        layers = tuple(len(params[f"layer{li}"]) for li in range(1, 5))
     feats = [x]
     # stem: 7x7/2 conv, bn, relu
     y = jax.lax.conv_general_dilated(
@@ -177,11 +180,13 @@ def _unet_decoder_init(key, encoder_channels, decoder_channels):
     return {"blocks": blocks}
 
 
-def _unet_decoder_apply(params, feats, decoder_channels):
+def _unet_decoder_apply(params, feats, decoder_channels=None):
+    n_blocks = (len(params["blocks"]) if decoder_channels is None
+                else len(decoder_channels))
     feats = feats[::-1]
     x = feats[0]
     skips = feats[1:]
-    for i in range(len(decoder_channels)):
+    for i in range(n_blocks):
         skip = skips[i] if i < len(skips) - 1 else None
         x = _decoder_block_apply(params["blocks"][str(i)], x, skip)
     return x
@@ -209,18 +214,21 @@ def unet_init(key, n_classes=6, layers=RESNET101_LAYERS,
     }
 
 
-def unet_apply(params, image, use_features_only=False,
-               layers=RESNET101_LAYERS, decoder_channels=DECODER_CHANNELS):
+def unet_apply(params, image, use_features_only=False, layers=None,
+               decoder_channels=None):
     """(B, H, W, 3) -> (B, H, W, n_classes) class map (or (.., 16) features
     when use_features_only — reference ynet.py:503-505 replaces the head with
-    Identity)."""
+    Identity). Depth is inferred from params unless given."""
     feats = _resnet_encoder_apply(params["encoder"], image, layers)
     x = _unet_decoder_apply(params["decoder"], feats, decoder_channels)
     if use_features_only:
         return x
     x = _conv(params["segmentation_head"]["0"], x)
-    meta = params.get("_meta", {})
-    act = meta.get("activation")
-    if act is not None and int(np.asarray(act)) == 1:
-        x = jax.nn.softmax(x, axis=-1)
+    act = params.get("_meta", {}).get("activation")
+    if act is not None:
+        # `act` may be traced (it rides in the params pytree); branch on
+        # device so the head activation stays checkpoint-defined.
+        x = jax.lax.cond(jnp.asarray(act) == 1,
+                         lambda v: jax.nn.softmax(v, axis=-1),
+                         lambda v: v, x)
     return x

@@ -55,12 +55,26 @@ class StepConfig(NamedTuple):
     eval_k_chunk: int = 0  # 0 -> all K at once
     swap_semantic: bool = False
     compute_dtype: Any = jnp.float32
+    segment_in_step: bool = False  # run the segmentation backbone inside the
+    # step (needed when tuning 'segmentation_*' params or past e_unfreeze;
+    # otherwise the backbone output is cached per scene, the reference's
+    # train_epoch.py:34-38 trick)
+    use_features_only: bool = False
 
 
 def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None):
-    """semantic (B or 1, H, W, C) + traj (B, T, 2) -> model inputs."""
+    """semantic (B or 1, H, W, C) + traj (B, T, 2) -> model inputs.
+
+    When scfg.segment_in_step, `semantic` is the raw preprocessed image and
+    the backbone runs here (differentiably, for segmentation_* strategies).
+    """
     B = traj.shape[0]
     H, W = semantic.shape[-3], semantic.shape[-2]
+    if scfg.segment_in_step and "segmentation" in params:
+        from mst_tpu.models import segmentation as seg_lib
+
+        semantic = seg_lib.apply(params["segmentation"], semantic,
+                                 scfg.use_features_only)
     semantic = ynet_lib.adapt_semantic(params, mcfg, semantic)
     if scfg.swap_semantic:
         from mst_tpu.data.images import swap_pavement_terrain

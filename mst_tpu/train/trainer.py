@@ -125,10 +125,22 @@ class Experiment:
             df, images, total_len, batch_size, p["resize_factor"],
             shuffle=(mode == "train"), rng=rng)
 
-    def _semantic_for(self, batch, cache):
+    def _segment_in_step(self):
+        """Run the backbone inside the train step: required when its
+        params are trainable ('segmentation_*' strategies,
+        trainer.py:182-190) or once e_unfreeze passes (trainer.py:49-51)."""
+        p = self.params
+        return "segmentation" in self.model_params and (
+            str(p.get("train_net", "")).startswith("segmentation")
+            or int(p.get("e_unfreeze", 10000)) < int(p.get("n_epoch", 0)))
+
+    def _semantic_for(self, batch, cache, raw=False):
         """Segmentation backbone output per scene, cached per data pass
         (the reference computes it once per scene per epoch,
-        train_epoch.py:34-38)."""
+        train_epoch.py:34-38). raw=True returns the preprocessed image for
+        in-step segmentation."""
+        if raw:
+            return batch.image[None]
         if batch.scene_id not in cache:
             img = batch.image[None]  # (1,H,W,C)
             if "segmentation" in self.model_params:
@@ -139,7 +151,7 @@ class Experiment:
             cache[batch.scene_id] = np.asarray(sem)
         return cache[batch.scene_id]
 
-    def _step_config(self, eval_k_chunk=None):
+    def _step_config(self, eval_k_chunk=None, segment_in_step=False):
         p = self.params
         return steps_lib.StepConfig(
             obs_len=p["obs_len"], pred_len=p["pred_len"],
@@ -157,6 +169,8 @@ class Experiment:
             eval_k_chunk=int(eval_k_chunk if eval_k_chunk is not None
                              else p.get("eval_k_chunk", 0)),
             swap_semantic=bool(p.get("swap_semantic", False)),
+            segment_in_step=segment_in_step,
+            use_features_only=bool(p.get("use_features_only", False)),
         )
 
     def _device_batch(self, batch, semantic):
@@ -195,9 +209,11 @@ class Experiment:
         optimizer = optax.adam(schedule)
         opt_state = optimizer.init(trainable)
 
-        scfg = self._step_config()
-        train_step = steps_lib.make_train_step(self.mcfg, scfg, optimizer)
-        eval_step = steps_lib.make_eval_step(self.mcfg, scfg)
+        segment_in_step = self._segment_in_step()
+        train_step = steps_lib.make_train_step(
+            self.mcfg, self._step_config(segment_in_step=segment_in_step),
+            optimizer)
+        eval_step = steps_lib.make_eval_step(self.mcfg, self._step_config())
 
         best_val_ade = float("inf")
         best_epoch = 0
@@ -217,7 +233,8 @@ class Experiment:
                 rng.shuffle(train_batches)
             ade_sum = fde_sum = loss_sum = n_sum = 0.0
             for batch in train_batches:
-                semantic = self._semantic_for(batch, seg_cache)
+                semantic = self._semantic_for(batch, seg_cache,
+                                              raw=segment_in_step)
                 db = self._device_batch(batch, semantic)
                 trainable, state, opt_state, metrics = train_step(
                     trainable, frozen, state, opt_state, db)

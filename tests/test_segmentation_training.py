@@ -1,0 +1,86 @@
+"""segmentation_* tuning strategies: in-step backbone + freeze matrix."""
+
+import jax
+import numpy as np
+import pytest
+
+from mst_tpu import config as config_lib
+from mst_tpu.data.synthetic import make_synthetic_dataset
+from mst_tpu.models import unet as unet_lib
+from mst_tpu.train.freeze import path_to_str, trainable_mask
+from mst_tpu.train.trainer import Experiment
+
+TOTAL_LEN = 12
+
+
+def _exp(tmp_path, images, **over):
+    params = config_lib.get_params(overrides=dict(
+        obs_len=4, pred_len=8, waypoints=[7], n_semantic_classes=3,
+        encoder_channels=[8, 8, 16, 16, 16],
+        decoder_channels=[16, 16, 16, 8, 8], kernlen=31, nsig=4,
+        loss_scale=1000, resize_factor=0.25, temperature=1.0, n_goal=3,
+        n_traj=1, batch_size=4, lr=1e-3, n_epoch=1, dataset_name="sdd",
+        ckpt_path=str(tmp_path), train_net="train", network="original",
+        n_round=1, seed=1, segmentation_model_fp=None, save_every_n=100))
+    params.update(over)
+    exp = Experiment(params, images=images)
+    # inject a tiny random backbone (n_classes == n_semantic_classes)
+    exp.model_params["segmentation"] = unet_lib.unet_init(
+        jax.random.PRNGKey(7), n_classes=3, layers=(1, 1, 1, 1),
+        decoder_channels=(32, 16, 16, 8, 8), activation="softmax")
+    return exp
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    df, images = make_synthetic_dataset(seed=0, n_scenes=1, n_traj=8,
+                                        total_len=TOTAL_LEN)
+    ids = df.metaId.unique()
+    return (df[df.metaId.isin(ids[:5])], df[df.metaId.isin(ids[5:7])],
+            df[df.metaId.isin(ids[7:])], images)
+
+
+def test_segmentation_freeze_selection(tmp_path, dataset):
+    _, _, _, images = dataset
+    exp = _exp(tmp_path, images, train_net="segmentation_head")
+    mask = exp._trainable_mask()
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    sel = [path_to_str(p) for p, m in flat if m]
+    assert sel and all(p.startswith("segmentation/") and "head" in p
+                       for p in sel)
+
+    exp2 = _exp(tmp_path, images, train_net="segmentation_bn")
+    mask2 = exp2._trainable_mask()
+    flat2 = jax.tree_util.tree_flatten_with_path(mask2)[0]
+    sel2 = [path_to_str(p) for p, m in flat2 if m]
+    assert sel2 and all("bn" in p for p in sel2)
+
+    exp3 = _exp(tmp_path, images, train_net="segmentation_conv1")
+    sel3 = [path_to_str(p) for p, m in
+            jax.tree_util.tree_flatten_with_path(
+                exp3._trainable_mask())[0] if m]
+    # regex decoder/blocks/\d+/conv1 (reference trainer.py:187-190)
+    assert sel3 and all("decoder/blocks" in p and "conv1" in p for p in sel3)
+
+
+def test_segmentation_head_training_runs(tmp_path, dataset):
+    df_train, df_val, df_test, images = dataset
+    exp = _exp(tmp_path, images, train_net="segmentation_head")
+    assert exp._segment_in_step()
+    val_ade, val_fde = exp.train(df_train, df_val, None, None, "seg_head")
+    assert np.isfinite(val_ade).all()
+    ade, fde, _, _ = exp.test(df_test, None)
+    assert np.isfinite(ade) and np.isfinite(fde)
+    # delta checkpoint contains only segmentation head params
+    import os
+
+    path = str(tmp_path / "seg_head.npz")
+    assert os.path.exists(path)
+    with np.load(path) as z:
+        assert all(k.startswith("segmentation/") for k in z.files), z.files
+
+
+def test_backbone_cached_when_frozen(tmp_path, dataset):
+    _, _, _, images = dataset
+    exp = _exp(tmp_path, images, train_net="mosa_2", position=["0"])
+    assert not exp._segment_in_step()
