@@ -18,7 +18,7 @@ def capture_activations(model, df_scene, image_path):
     """Run the probe forward and return a dict of named activations."""
     import jax.numpy as jnp
 
-    from mst_tpu.ops.heatmap import rasterize_dist
+    from mst_tpu.ops.heatmap import rasterize_dist_nhwc
     from mst_tpu.ops.pooling import avg_pool_pyramid
 
     p = model.params
@@ -31,8 +31,7 @@ def capture_activations(model, df_scene, image_path):
     semantic = ynet_lib.adapt_semantic(model.model_params, model.mcfg,
                                        semantic)
     obs = traj[:, :p["obs_len"]]
-    observed_map = jnp.moveaxis(
-        rasterize_dist(obs, H, W, model.template_size), 1, -1)
+    observed_map = rasterize_dist_nhwc(obs, H, W, model.template_size)
     semantic_b = jnp.broadcast_to(semantic,
                                   (traj.shape[0],) + semantic.shape[1:])
     feats, _ = ynet_lib.pred_features(model.model_params, model.model_state,

@@ -123,13 +123,53 @@ def rasterize_dist(points, H: int, W: int, template_size: int):
     return out.reshape(*batch_shape, H, W)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def rasterize_gaussian_nhwc(points, H: int, W: int, kernlen: int = 31,
+                            nsig: float = 4.0):
+    """Channels-last Gaussian rasterizer: (B, T, 2) -> (B, H, W, T).
+
+    Emits the NHWC layout directly by ordering the separable outer product
+    as einsum('bth,btw->bhwt') — no materialized (B,T,H,W)->(B,H,W,T)
+    transpose (which at SDD scale is a ~0.5 GB HBM round-trip per step).
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    x = jnp.round(pts[..., 0])  # (B, T)
+    y = jnp.round(pts[..., 1])
+    half = (kernlen - 1) // 2
+    inv_two_sig2 = 0.5 / (nsig**2)
+    norm = gaussian_template_normalizer(kernlen, nsig)
+    rows = jnp.arange(H, dtype=jnp.float32)
+    cols = jnp.arange(W, dtype=jnp.float32)
+    dy = rows[None, None, :] - y[..., None]  # (B, T, H)
+    dx = cols[None, None, :] - x[..., None]  # (B, T, W)
+    gy = jnp.exp(-inv_two_sig2 * dy * dy) * (jnp.abs(dy) <= half)
+    gx = jnp.exp(-inv_two_sig2 * dx * dx) * (jnp.abs(dx) <= half)
+    return jnp.einsum("bth,btw->bhwt", gy, gx) / norm
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def rasterize_dist_nhwc(points, H: int, W: int, template_size: int):
+    """Channels-last distance rasterizer: (B, T, 2) -> (B, H, W, T)."""
+    pts = jnp.asarray(points, jnp.float32)
+    x = jnp.round(pts[..., 0])
+    y = jnp.round(pts[..., 1])
+    scale = 2.0 / dist_template_scale(template_size)
+    rows = jnp.arange(H, dtype=jnp.float32)
+    cols = jnp.arange(W, dtype=jnp.float32)
+    dy2 = (rows[None, None, :] - y[..., None]) ** 2  # (B, T, H)
+    dx2 = (cols[None, None, :] - x[..., None]) ** 2  # (B, T, W)
+    # broadcast straight into NHWC: only the small (B,T,H)/(B,T,W) factors
+    # are transposed, never the (B,H,W,T) volume
+    d2 = (jnp.swapaxes(dy2, 1, 2)[:, :, None, :]
+          + jnp.swapaxes(dx2, 1, 2)[:, None, :, :])  # (B, H, W, T)
+    return jnp.sqrt(d2) * scale
+
+
 def trajectory_heatmaps(traj, H: int, W: int, template_size: int):
     """Observed-trajectory input heatmaps: (B, T, 2) -> (B, H, W, T) NHWC."""
-    maps = rasterize_dist(traj, H, W, template_size)  # (B, T, H, W)
-    return jnp.moveaxis(maps, -3, -1)
+    return rasterize_dist_nhwc(traj, H, W, template_size)
 
 
 def gt_heatmaps(traj, H: int, W: int, kernlen: int = 31, nsig: float = 4.0):
     """Ground-truth future Gaussian heatmaps: (B, T, 2) -> (B, H, W, T)."""
-    maps = rasterize_gaussian(traj, H, W, kernlen, nsig)
-    return jnp.moveaxis(maps, -3, -1)
+    return rasterize_gaussian_nhwc(traj, H, W, kernlen, nsig)

@@ -24,7 +24,8 @@ import numpy as np
 import optax
 
 from mst_tpu.models import ynet as ynet_lib
-from mst_tpu.ops.heatmap import rasterize_dist, rasterize_gaussian
+from mst_tpu.ops.heatmap import (rasterize_dist_nhwc,
+                                 rasterize_gaussian_nhwc)
 from mst_tpu.ops.kmeans import batched_kmeans
 from mst_tpu.ops.pooling import avg_pool_pyramid
 from mst_tpu.ops.sampling import sample_heatmap
@@ -83,8 +84,8 @@ def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None):
         semantic = jnp.broadcast_to(semantic,
                                     (B,) + semantic.shape[1:])
     obs = traj[:, :scfg.obs_len]
-    observed_map = jnp.moveaxis(
-        rasterize_dist(obs, H, W, scfg.template_size), 1, -1)  # (B,H,W,obs)
+    observed_map = rasterize_dist_nhwc(
+        obs, H, W, scfg.template_size)  # (B,H,W,obs)
     if mcfg.network == "embed":
         semantic = ynet_lib.scene_embedding(params, mcfg, semantic)
         observed_map = ynet_lib.motion_embedding(params, mcfg, observed_map)
@@ -118,12 +119,11 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
             mcfg, scfg, params, batch["semantic"], traj, train=True)
 
         gt_future = traj[:, scfg.obs_len:]
-        gt_future_map = jnp.moveaxis(
-            rasterize_gaussian(gt_future, H, W, scfg.kernlen, scfg.nsig),
-            1, -1)  # (B,H,W,pred)
+        gt_future_map = rasterize_gaussian_nhwc(
+            gt_future, H, W, scfg.kernlen, scfg.nsig)  # (B,H,W,pred)
         gt_waypoints = gt_future[:, waypoints]
-        gt_waypoint_map = jnp.moveaxis(
-            rasterize_dist(gt_waypoints, H, W, scfg.template_size), 1, -1)
+        gt_waypoint_map = rasterize_dist_nhwc(gt_waypoints, H, W,
+                                              scfg.template_size)
 
         features, new_state = ynet_lib.pred_features(
             params, state, mcfg, semantic, observed_map, train=True)
@@ -257,8 +257,7 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
             """(Kc, B, n_wp, 2) -> (Kc, B, pred_len, 2)."""
             Kc, B = waypoint_chunk.shape[0], waypoint_chunk.shape[1]
             flat = waypoint_chunk.reshape(Kc * B, n_wp, 2)
-            wmap = jnp.moveaxis(
-                rasterize_dist(flat, H, W, scfg.template_size), 1, -1)
+            wmap = rasterize_dist_nhwc(flat, H, W, scfg.template_size)
             pyr = avg_pool_pyramid(wmap, len(features))
             pred_map = decode(pyr)  # (Kc*B,H,W,pred)
             pts = softargmax2d_auto(jnp.moveaxis(pred_map, -1, 1))
@@ -301,6 +300,41 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
     return eval_step
 
 
+def cws_gaussian_prior(mean, dist, sigma_factor, ratio, rot, H, W):
+    """Oriented multivariate Gaussian prior, batched over leading dims.
+
+    Mirrors torch_multivariate_gaussian_heatmap (reference evaluate.py:9-34):
+    axes are linspace(0, H, H) == arange * H/(H-1); covariance
+    T = R diag((|d|+5)/sf/ratio, (|d|+5)/sf)^2 R^T with R the heading
+    rotation (optionally pre-rotated 90 deg). mean/dist (..., 2),
+    sigma_factor (...,); returns (..., H, W) maps normalized to sum 1.
+    """
+    ys = jnp.arange(H, dtype=jnp.float32) * (H / (H - 1))
+    xs = jnp.arange(W, dtype=jnp.float32) * (W / (W - 1))
+    ax = ys - mean[..., 1][..., None]  # (..., H)
+    ay = xs - mean[..., 0][..., None]  # (..., W)
+    radians = jnp.arctan2(dist[..., 0], dist[..., 1])
+    cr, sr = jnp.cos(radians), jnp.sin(radians)
+    R = jnp.stack([jnp.stack([cr, sr], -1),
+                   jnp.stack([-sr, cr], -1)], -2)  # (..., 2, 2)
+    if rot:
+        rot90 = jnp.array([[0.0, -1.0], [1.0, 0.0]])
+        R = jnp.einsum("ij,...jl->...il", rot90, R)
+    dist_norm = jnp.sqrt((dist**2).sum(-1)) + 5.0
+    d1 = (dist_norm / sigma_factor / ratio) ** 2
+    d2 = (dist_norm / sigma_factor) ** 2
+    conv = jnp.zeros(R.shape).at[..., 0, 0].set(d1).at[..., 1, 1].set(d2)
+    T = jnp.einsum("...ij,...jl,...ml->...im", R, conv, R)
+    Tinv = jnp.linalg.inv(T)
+    gx = ay[..., None, :]  # (..., 1, W) — x offsets
+    gy = ax[..., :, None]  # (..., H, 1) — y offsets
+    q = (Tinv[..., 0, 0][..., None, None] * gx * gx
+         + (Tinv[..., 0, 1] + Tinv[..., 1, 0])[..., None, None] * gx * gy
+         + Tinv[..., 1, 1][..., None, None] * gy * gy)
+    kern = jnp.exp(-0.5 * q)
+    return kern / kern.sum(axis=(-2, -1), keepdims=True)
+
+
 def _cws(key, goal_samples, traj, pred_wp_sigmoid, scfg: StepConfig, H, W):
     """Conditional Waypoint Sampling (evaluate.py:172-226), vectorized.
 
@@ -318,45 +352,6 @@ def _cws(key, goal_samples, traj, pred_wp_sigmoid, scfg: StepConfig, H, W):
     last_observed = traj[:, scfg.obs_len - 1]  # (B,2)
     goals = goal_rep[:, :, 0]  # (K,B,2)
 
-    ys = jnp.arange(H, dtype=jnp.float32)
-    xs = jnp.arange(W, dtype=jnp.float32)
-
-    def gaussian_prior(mean, dist, sigma_factor_):
-        """mean/dist (K,B,2) -> kernel (K,B,H,W), normalized per map.
-
-        Mirrors torch_multivariate_gaussian_heatmap (evaluate.py:9-34):
-        axes built with linspace(0, H, H) ~ arange scaled by H/(H-1)."""
-        ax = (ys * (H / (H - 1)))[None, None, :] - mean[..., 1][..., None]
-        ay = (xs * (W / (W - 1)))[None, None, :] - mean[..., 0][..., None]
-        radians = jnp.arctan2(dist[..., 0], dist[..., 1])
-        c, s = jnp.cos(radians), jnp.sin(radians)
-        if rot:
-            c, s = -s, c  # pre-multiplied by [[0,-1],[1,0]]
-            R = jnp.stack([jnp.stack([c, s], -1),
-                           jnp.stack([-jnp.cos(radians), jnp.sin(radians)],
-                                     -1)], -2)
-        # R = [[c, s], [-s, c]] (optionally rotated 90deg)
-        cr, sr = jnp.cos(radians), jnp.sin(radians)
-        R = jnp.stack([jnp.stack([cr, sr], -1),
-                       jnp.stack([-sr, cr], -1)], -2)  # (K,B,2,2)
-        if rot:
-            rot90 = jnp.array([[0.0, -1.0], [1.0, 0.0]])
-            R = jnp.einsum("ij,kbjl->kbil", rot90, R)
-        dist_norm = jnp.sqrt((dist ** 2).sum(-1)) + 5.0  # (K,B)
-        d1 = (dist_norm / sigma_factor_ / ratio) ** 2
-        d2 = (dist_norm / sigma_factor_) ** 2
-        conv = jnp.zeros(R.shape).at[..., 0, 0].set(d1).at[..., 1, 1].set(d2)
-        T = jnp.einsum("kbij,kbjl,kbml->kbim", R, conv, R)
-        Tinv = jnp.linalg.inv(T)  # (K,B,2,2)
-        # quadratic form over the (y, x) grid; meshgrid stacks (x, y)
-        gx = ay[:, :, None, :]  # (K,B,1,W)
-        gy = ax[:, :, :, None]  # (K,B,H,1)
-        q = (Tinv[..., 0, 0][..., None, None] * gx * gx
-             + (Tinv[..., 0, 1] + Tinv[..., 1, 0])[..., None, None] * gx * gy
-             + Tinv[..., 1, 1][..., None, None] * gy * gy)
-        kern = jnp.exp(-0.5 * q)
-        return kern / kern.sum(axis=(-2, -1), keepdims=True)
-
     wp_list = [goals[:, :, None]]  # goal first; built back-to-front
     samples = goals
     keys = jax.random.split(key, max(n_wp - 1, 1))
@@ -366,7 +361,9 @@ def _cws(key, goal_samples, traj, pred_wp_sigmoid, scfg: StepConfig, H, W):
         length_ratio = 1.0 / (wnum + 2)
         gauss_mean = samples + distance * length_ratio
         sf = sigma_factor - traj_idx[:, None]  # (K,B) per-goal sigma
-        prior = gaussian_prior(gauss_mean, distance, sf[..., None][..., 0])
+        prior = cws_gaussian_prior(gauss_mean, distance,
+                                   jnp.broadcast_to(sf, gauss_mean.shape[:2]),
+                                   ratio, rot, H, W)
         wmap = pred_wp_sigmoid[..., wnum][None] * prior  # (K,B,H,W)
         wmap = wmap / wmap.sum(axis=(-2, -1), keepdims=True)
         # first-goal group: softargmax; others: threshold sample

@@ -227,10 +227,12 @@ class Experiment:
 
         state = self.model_state
         for e in range(int(p["n_epoch"])):
-            # ---- one training epoch
+            # ---- one training epoch; scene-batch order reshuffled per
+            # epoch like the reference's DataLoader(shuffle=True)
+            # (trainer.py:574-576) — independent of the --shuffle flag,
+            # which controls data *splits*
             seg_cache = {}
-            if p.get("shuffle", True):
-                rng.shuffle(train_batches)
+            rng.shuffle(train_batches)
             ade_sum = fde_sum = loss_sum = n_sum = 0.0
             for batch in train_batches:
                 semantic = self._semantic_for(batch, seg_cache,
@@ -375,7 +377,8 @@ class Experiment:
         losses or prediction maps for activation analysis."""
         import jax.numpy as jnp
 
-        from mst_tpu.ops.heatmap import rasterize_dist, rasterize_gaussian
+        from mst_tpu.ops.heatmap import (rasterize_dist_nhwc,
+            rasterize_gaussian_nhwc)
         from mst_tpu.ops.pooling import avg_pool_pyramid
         from mst_tpu.train.losses import bce_with_logits
 
@@ -399,14 +402,13 @@ class Experiment:
                                            semantic)
         obs = traj[:, :p["obs_len"]]
         gt_future = traj[:, p["obs_len"]:]
-        observed_map = jnp.moveaxis(
-            rasterize_dist(obs, H, W, self.template_size), 1, -1)
+        observed_map = rasterize_dist_nhwc(obs, H, W, self.template_size)
         if noisy_std_frac is not None and "traj" in set_input:
             std = noisy_std_frac * (observed_map.max() - observed_map.min())
             observed_map = observed_map + std * jax.random.normal(
                 jax.random.fold_in(key, 1), observed_map.shape)
-        gt_map = jnp.moveaxis(rasterize_gaussian(
-            gt_future, H, W, p["kernlen"], float(p["nsig"])), 1, -1)
+        gt_map = rasterize_gaussian_nhwc(
+            gt_future, H, W, p["kernlen"], float(p["nsig"]))
         semantic_b = jnp.broadcast_to(
             semantic, (traj.shape[0],) + semantic.shape[1:])
         features, _ = ynet_lib.pred_features(

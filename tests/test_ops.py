@@ -54,6 +54,22 @@ class TestRasterizers:
         out = rasterize_gaussian(pts, H, W)
         assert out.shape == (3, 4, H, W)
 
+    def test_nhwc_variants_match(self, rng):
+        from mst_tpu.ops.heatmap import (
+            rasterize_dist_nhwc,
+            rasterize_gaussian_nhwc,
+        )
+
+        pts = _random_points(rng, 12).reshape(3, 4, 2)
+        g = np.asarray(rasterize_gaussian(pts, H, W))
+        g_nhwc = np.asarray(rasterize_gaussian_nhwc(pts, H, W))
+        np.testing.assert_allclose(g_nhwc, np.moveaxis(g, 1, -1),
+                                   rtol=1e-6, atol=1e-9)
+        d = np.asarray(rasterize_dist(pts, H, W, TEMPLATE))
+        d_nhwc = np.asarray(rasterize_dist_nhwc(pts, H, W, TEMPLATE))
+        np.testing.assert_allclose(d_nhwc, np.moveaxis(d, 1, -1),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_gaussian_rounding_half_even(self):
         # np.round(0.5) == 0, np.round(1.5) == 2 — get_patch parity
         pts = np.array([[10.5, 11.5], [9.5, 12.5]], np.float32)
