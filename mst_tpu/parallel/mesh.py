@@ -44,7 +44,7 @@ def shard_batch(mesh, batch: dict):
     rep = replicated(mesh)
     out = {}
     for k, v in batch.items():
-        if k in ("semantic", "image"):
+        if k in ("semantic", "image", "homography"):
             out[k] = jax.device_put(v, rep)
         else:
             out[k] = jax.device_put(v, ds)

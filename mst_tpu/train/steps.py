@@ -61,6 +61,10 @@ class StepConfig(NamedTuple):
     # otherwise the backbone output is cached per scene, the reference's
     # train_epoch.py:34-38 trick)
     use_features_only: bool = False
+    world_coords: bool = False  # ETH/UCY: homography px->world before
+    # metrics (reference evaluate.py:271-274, image_utils.py:138-162);
+    # batch carries a per-scene 'homography' (3,3) with the eth/hotel
+    # x/y swap pre-folded in
 
 
 def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None):
@@ -244,7 +248,8 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
         return features, waypoint_samples
 
     @jax.jit
-    def decode_and_score(params, features, waypoint_samples, traj, mask):
+    def decode_and_score(params, features, waypoint_samples, traj, mask,
+                         batch_hom):
         """All K decodes (lax.map over chunks, body compiled once) + the
         min-over-K metrics (evaluate.py:248-291). Encoder contributions to
         the trajectory decoder are hoisted out of the K loop
@@ -275,11 +280,34 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
                 decode_chunk, chunks).reshape(Ktot, B, scfg.pred_len, 2)
 
         gt_future = traj[:, scfg.obs_len:]
-        ade_k = jnp.sqrt((((gt_future[None] - trajs_samples)
-                           / scfg.resize_factor) ** 2).sum(-1)).mean(-1)
-        fde_k = jnp.sqrt((((gt_future[None, :, -1:]
-                            - waypoint_samples[:, :, -1:])
-                           / scfg.resize_factor) ** 2).sum(-1))[:, :, 0]
+        if scfg.world_coords:
+            # ETH/UCY: convert everything to world coordinates via the
+            # scene homography before computing metrics (reference
+            # evaluate.py:271-274; the reference additionally re-divides
+            # converted coords by resize_factor — a bit-rotted quirk we do
+            # not reproduce).
+            # the eth/hotel x/y swap (image_utils.py:151-153) is folded
+            # into the homography host-side (H @ P_swap), so one matrix
+            # covers all scenes
+            hm = batch_hom
+            def to_world(pts):
+                p = pts / scfg.resize_factor
+                ones = jnp.ones(p.shape[:-1] + (1,), p.dtype)
+                h = jnp.concatenate([p, ones], axis=-1)
+                w = jnp.einsum("ij,...j->...i", hm, h)
+                return w[..., :2] / w[..., 2:]
+            gt_w = to_world(gt_future)
+            trajs_w = to_world(trajs_samples)
+            goals_w = to_world(waypoint_samples[:, :, -1:])
+            ade_k = jnp.sqrt(((gt_w[None] - trajs_w) ** 2).sum(-1)).mean(-1)
+            fde_k = jnp.sqrt(((gt_w[None, :, -1:] - goals_w)
+                              ** 2).sum(-1))[:, :, 0]
+        else:
+            ade_k = jnp.sqrt((((gt_future[None] - trajs_samples)
+                               / scfg.resize_factor) ** 2).sum(-1)).mean(-1)
+            fde_k = jnp.sqrt((((gt_future[None, :, -1:]
+                                - waypoint_samples[:, :, -1:])
+                               / scfg.resize_factor) ** 2).sum(-1))[:, :, 0]
         ade = ade_k.min(axis=0)
         fde = fde_k.min(axis=0)
         best_idx = ade_k.argmin(axis=0)
@@ -294,8 +322,11 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
 
     def eval_step(params, state, batch, key):
         features, waypoint_samples = forward(params, state, batch, key)
+        hom = batch.get("homography")
+        if hom is None:
+            hom = jnp.eye(3, dtype=jnp.float32)
         return decode_and_score(params, features, waypoint_samples,
-                                batch["traj"], batch["mask"])
+                                batch["traj"], batch["mask"], hom)
 
     return eval_step
 

@@ -134,6 +134,24 @@ class Experiment:
             str(p.get("train_net", "")).startswith("segmentation")
             or int(p.get("e_unfreeze", 10000)) < int(p.get("n_epoch", 0)))
 
+    def _homography_for(self, scene_id):
+        """ETH/UCY homography (reference trainer.py:550-557), cached; the
+        eth/hotel x/y swap (image_utils.py:151-153) is folded in as a column
+        permutation so the device kernel applies ONE matrix."""
+        if not hasattr(self, "_homo_cache"):
+            self._homo_cache = {}
+        scene = scene_id.split("_")[0]
+        if scene not in self._homo_cache:
+            mat = np.loadtxt(os.path.join(
+                self.params.get("data_dir", "data"), "eth_ucy",
+                f"{scene}_H.txt")).astype(np.float32)
+            if scene in ("eth", "hotel"):
+                perm = np.array([[0, 1, 0], [1, 0, 0], [0, 0, 1]],
+                                np.float32)
+                mat = mat @ perm
+            self._homo_cache[scene] = mat
+        return self._homo_cache[scene]
+
     def _semantic_for(self, batch, cache, raw=False):
         """Segmentation backbone output per scene, cached per data pass
         (the reference computes it once per scene per epoch,
@@ -171,12 +189,15 @@ class Experiment:
             swap_semantic=bool(p.get("swap_semantic", False)),
             segment_in_step=segment_in_step,
             use_features_only=bool(p.get("use_features_only", False)),
+            world_coords=(p["dataset_name"].lower() == "eth"),
         )
 
     def _device_batch(self, batch, semantic):
         db = {"semantic": semantic,
               "traj": batch.trajectories,
               "mask": batch.mask}
+        if self.params["dataset_name"].lower() == "eth":
+            db["homography"] = self._homography_for(batch.scene_id)
         if self.mesh is not None:
             db = mesh_lib.shard_batch(self.mesh, db)
         return db
