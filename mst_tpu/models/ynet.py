@@ -537,7 +537,8 @@ def pred_traj(params, features_with_waypoints):
     return _decoder_apply(params["traj_decoder"], features_with_waypoints)
 
 
-def make_shared_pred_traj(params, features, n_wp: int):
+def make_shared_pred_traj(params, features, n_wp: int,
+                          packed_finest: bool = False):
     """K-sample trajectory decoding with hoisted encoder contributions.
 
     The eval loop decodes K goal samples against the SAME encoder features
@@ -584,6 +585,42 @@ def make_shared_pred_traj(params, features, n_wp: int):
         block_enc.append(conv_slice(d["blocks"][str(i)]["0"],
                                     feats_rev[i + 1], lo, hi))
 
+    if packed_finest:
+        # space-to-depth fast path for the finest (full-resolution) level:
+        # its convs have C_out <= 32, wasting >= 75% of the 128-lane MXU;
+        # packing 2x2 blocks into channels makes them dense at exactly the
+        # same math (mst_tpu.ops.packed). Kernels are packed once per trace.
+        from mst_tpu.ops import packed as packed_lib
+
+        i_last = L - 2
+        up_p = d["upsample"][str(i_last)]
+        b0_p = d["blocks"][str(i_last)]["0"]
+        b1_p = d["blocks"][str(i_last)]["1"]
+        cin_last = up_p["weight"].shape[2]
+        lo_l = up_out[i_last]
+        hi_l = lo_l + enc_ch[i_last + 1]
+        pk = {
+            "up_fixed": jnp.asarray(
+                packed_lib.packed_upsample_kernel(cin_last)),
+            "up_w": packed_lib.pack_conv3x3_kernel(up_p["weight"]),
+            "up_b": (packed_lib.pack_bias(up_p["bias"])
+                     if "bias" in up_p else None),
+            "b0_up": packed_lib.pack_conv3x3_kernel(
+                b0_p["weight"][:, :, :lo_l, :]),
+            "b0_wp": packed_lib.pack_conv3x3_kernel(
+                b0_p["weight"][:, :, hi_l:hi_l + n_wp, :]),
+            "b0_b": (packed_lib.pack_bias(b0_p["bias"])
+                     if "bias" in b0_p else None),
+            "b1_w": packed_lib.pack_conv3x3_kernel(b1_p["weight"]),
+            "b1_b": (packed_lib.pack_bias(b1_p["bias"])
+                     if "bias" in b1_p else None),
+            "pred_w": packed_lib.pack_conv1x1_kernel(
+                d["predictor"]["weight"]),
+            "pred_b": (packed_lib.pack_bias(d["predictor"]["bias"])
+                       if "bias" in d["predictor"] else None),
+            "enc": packed_lib.space_to_depth(block_enc[i_last]),
+        }
+
     def tile(x, KB):
         reps = KB // B
         return jnp.broadcast_to(x[None], (reps,) + x.shape).reshape(
@@ -601,6 +638,24 @@ def make_shared_pred_traj(params, features, n_wp: int):
         x = jax.nn.relu(x)
         x = jax.nn.relu(layers.conv2d_apply(d["center"]["1"], x))
         for i in range(L - 1):
+            if packed_finest and i == L - 2:
+                from mst_tpu.ops import packed as packed_lib
+
+                # x is at half the finest resolution — packed space IS this
+                # resolution, so the whole finest level runs here
+                xq = packed_lib.packed_upsample_2x(x, pk["up_fixed"])
+                xq = packed_lib.packed_conv(xq, pk["up_w"], pk["up_b"])
+                wpq = packed_lib.space_to_depth(wp_rev[i + 1])
+                yq = (packed_lib.packed_conv(xq, pk["b0_up"])
+                      + tile(pk["enc"], KB)
+                      + packed_lib.packed_conv(wpq, pk["b0_wp"]))
+                if pk["b0_b"] is not None:
+                    yq = yq + pk["b0_b"]
+                yq = jax.nn.relu(yq)
+                yq = packed_lib.packed_conv(yq, pk["b1_w"], pk["b1_b"])
+                yq = jax.nn.relu(yq)
+                yq = packed_lib.packed_conv(yq, pk["pred_w"], pk["pred_b"])
+                return packed_lib.depth_to_space(yq)
             x = upsample_bilinear_2x(x)
             x = layers.conv2d_apply(d["upsample"][str(i)], x)
             b0 = d["blocks"][str(i)]["0"]

@@ -1,0 +1,142 @@
+"""Space-to-depth packed convolution equivalence tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mst_tpu.ops import packed as P
+from mst_tpu.ops.pooling import upsample_bilinear_2x
+
+
+def _conv(x, k, bias=None):
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def test_space_depth_roundtrip(rng):
+    x = rng.normal(size=(2, 16, 24, 5)).astype(np.float32)
+    xp = P.space_to_depth(jnp.asarray(x))
+    assert xp.shape == (2, 8, 12, 20)
+    back = P.depth_to_space(xp)
+    np.testing.assert_array_equal(np.asarray(back), x)
+    # channel layout: (si, sj, c)
+    np.testing.assert_array_equal(np.asarray(xp)[0, 0, 0, :5], x[0, 0, 0])
+    np.testing.assert_array_equal(np.asarray(xp)[0, 0, 0, 5:10], x[0, 0, 1])
+    np.testing.assert_array_equal(np.asarray(xp)[0, 0, 0, 10:15], x[0, 1, 0])
+
+
+def test_packed_conv3x3_equivalence(rng):
+    x = rng.normal(size=(2, 16, 24, 6)).astype(np.float32)
+    k = rng.normal(size=(3, 3, 6, 7)).astype(np.float32)
+    b = rng.normal(size=7).astype(np.float32)
+    want = P.space_to_depth(_conv(x, k, b))
+    got = P.packed_conv(P.space_to_depth(jnp.asarray(x)),
+                        jnp.asarray(P.pack_conv3x3_kernel(k)),
+                        jnp.asarray(P.pack_bias(b)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_conv1x1_equivalence(rng):
+    x = rng.normal(size=(1, 8, 8, 5)).astype(np.float32)
+    k = rng.normal(size=(1, 1, 5, 3)).astype(np.float32)
+    want = P.space_to_depth(_conv(x, k))
+    got = P.packed_conv(P.space_to_depth(jnp.asarray(x)),
+                        jnp.asarray(P.pack_conv1x1_kernel(k)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_upsample_equivalence(rng):
+    x = rng.normal(size=(2, 8, 12, 6)).astype(np.float32)
+    want = P.space_to_depth(upsample_bilinear_2x(jnp.asarray(x)))
+    kern = P.packed_upsample_kernel(6)
+    got = P.packed_upsample_2x(jnp.asarray(x), kern)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packed_decoder_level_equivalence(rng):
+    """Full finest-decoder-level pipeline packed vs unpacked:
+    up(x) -> conv -> concat(enc, wp) -> conv -> relu -> conv -> relu ->
+    1x1 predictor."""
+    B, Hp, Wp = 2, 8, 12
+    H, W = Hp * 2, Wp * 2
+    x = rng.normal(size=(B, Hp, Wp, 16)).astype(np.float32)  # coarse path
+    enc = rng.normal(size=(B, H, W, 8)).astype(np.float32)
+    wp = rng.uniform(size=(B, H, W, 1)).astype(np.float32)
+    k_up = rng.normal(size=(3, 3, 16, 8)).astype(np.float32) * 0.2
+    b_up = rng.normal(size=8).astype(np.float32)
+    k1 = rng.normal(size=(3, 3, 17, 8)).astype(np.float32) * 0.2
+    b1 = rng.normal(size=8).astype(np.float32)
+    k2 = rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.2
+    b2 = rng.normal(size=8).astype(np.float32)
+    kp = rng.normal(size=(1, 1, 8, 4)).astype(np.float32)
+    bp = rng.normal(size=4).astype(np.float32)
+
+    # unpacked reference
+    y = _conv(upsample_bilinear_2x(jnp.asarray(x)), k_up, b_up)
+    y = jnp.concatenate([y, jnp.asarray(enc), jnp.asarray(wp)], axis=-1)
+    y = jax.nn.relu(_conv(y, k1, b1))
+    y = jax.nn.relu(_conv(y, k2, b2))
+    want = _conv(y, kp, bp)
+
+    # packed
+    up_kern = P.packed_upsample_kernel(16)
+    yq = P.packed_conv(P.packed_upsample_2x(jnp.asarray(x), up_kern),
+                       jnp.asarray(P.pack_conv3x3_kernel(k_up)),
+                       jnp.asarray(P.pack_bias(b_up)))
+    # concat in packed space must interleave per sub-position:
+    # packed channel layout is (si,sj,[channels]) so concat of packed
+    # tensors concatenates per-(si,sj) groups
+    def packed_concat(tensors, chans):
+        parts = []
+        for s in range(4):
+            for t, c in zip(tensors, chans):
+                parts.append(t[..., s * c:(s + 1) * c])
+        return jnp.concatenate(parts, axis=-1)
+
+    encq = P.space_to_depth(jnp.asarray(enc))
+    wpq = P.space_to_depth(jnp.asarray(wp))
+    yq = packed_concat([yq, encq, wpq], [8, 8, 1])
+    yq = jax.nn.relu(P.packed_conv(yq, jnp.asarray(P.pack_conv3x3_kernel(k1)),
+                                   jnp.asarray(P.pack_bias(b1))))
+    yq = jax.nn.relu(P.packed_conv(yq, jnp.asarray(P.pack_conv3x3_kernel(k2)),
+                                   jnp.asarray(P.pack_bias(b2))))
+    yq = P.packed_conv(yq, jnp.asarray(P.pack_conv1x1_kernel(kp)),
+                       jnp.asarray(P.pack_bias(bp)))
+    got = P.depth_to_space(yq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_packed_shared_decoder_equivalence(rng):
+    """make_shared_pred_traj(packed_finest=True) == unpacked decode."""
+    import jax
+
+    from mst_tpu.models import ynet as jynet
+    from mst_tpu.ops.pooling import avg_pool_pyramid
+
+    cfg = jynet.YNetConfig(
+        obs_len=4, pred_len=6, n_semantic_classes=3,
+        encoder_channels=(8, 8, 16, 16, 16),
+        decoder_channels=(16, 16, 16, 8, 8), waypoints=(2, 5),
+        train_net="train", network="original")
+    params, state = jynet.init_ynet(jax.random.PRNGKey(0), cfg)
+    B, K, H, W = 2, 3, 32, 64
+    scene = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    motion = jnp.asarray(
+        rng.normal(size=(B, H, W, cfg.obs_len)).astype(np.float32))
+    feats, _ = jynet.pred_features(params, state, cfg, scene, motion)
+    wp = jnp.asarray(
+        rng.uniform(size=(K * B, H, W, cfg.n_waypoints)).astype(np.float32))
+    pyr = avg_pool_pyramid(wp, len(feats))
+    want = jynet.make_shared_pred_traj(params, feats, cfg.n_waypoints)(pyr)
+    got = jynet.make_shared_pred_traj(params, feats, cfg.n_waypoints,
+                                      packed_finest=True)(pyr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
