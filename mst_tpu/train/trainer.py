@@ -28,6 +28,7 @@ from mst_tpu.train import checkpoints as ckpt_lib
 from mst_tpu.train import freeze as freeze_lib
 from mst_tpu.train import steps as steps_lib
 from mst_tpu.utils.cache import enable_compilation_cache
+from mst_tpu.utils.profiling import ThroughputMeter, trace
 
 enable_compilation_cache()
 
@@ -246,7 +247,14 @@ class Experiment:
         snapshots = collections.deque()
         n_early_stop = int(p.get("n_early_stop", 300))
 
+        metrics_log = None
+        if p.get("metrics_jsonl"):
+            from mst_tpu.evaluator.logs import MetricsLogger
+
+            metrics_log = MetricsLogger(p["metrics_jsonl"])
+
         state = self.model_state
+        meter = ThroughputMeter()
         for e in range(int(p["n_epoch"])):
             # ---- one training epoch; scene-batch order reshuffled per
             # epoch like the reference's DataLoader(shuffle=True)
@@ -265,6 +273,7 @@ class Experiment:
                 fde_sum += float(metrics["fde_sum"])
                 loss_sum += float(metrics["loss"])
                 n_sum += float(metrics["n"])
+            meter.update(n_sum, len(train_batches))
             train_ade = ade_sum / max(n_sum, 1)
             train_fde = fde_sum / max(n_sum, 1)
 
@@ -279,6 +288,12 @@ class Experiment:
             print(f"Epoch {e}: \tTrain (Top-1) ADE: {train_ade:.2f} "
                   f"FDE: {train_fde:.2f} \t\tVal (Top-k) ADE: {val_ade:.2f} "
                   f"FDE: {val_fde:.2f}")
+            if metrics_log is not None:
+                metrics_log.log(epoch=e, train_ade=train_ade,
+                                train_fde=train_fde, val_ade=val_ade,
+                                val_fde=val_fde,
+                                loss=loss_sum / max(len(train_batches), 1),
+                                **meter.rates())
 
             # ---- smooth-val ckpt selection (trainer.py:248-267)
             snapshot = jax.tree.map(np.asarray, trainable)
@@ -327,8 +342,46 @@ class Experiment:
         self.model_state = state
         config_lib.ensure_dir(p["ckpt_path"])
         self.save_params(f'{p["ckpt_path"]}/{experiment_name}.npz', mask=mask)
-        print(f"train wall-clock: {time.time() - t0:.1f}s")
+        rates = meter.rates()
+        print(f"train wall-clock: {time.time() - t0:.1f}s "
+              f"({rates['traj_per_sec']:.1f} traj/s, "
+              f"{rates['batches_per_sec']:.1f} scene-batches/s)")
         return self.val_ADE, self.val_FDE
+
+    # -- mid-run resume (exceeds the reference: trainer.py never saves
+    # optimizer state, SURVEY.md §5) -----------------------------------------
+    def save_training_state(self, path, trainable, opt_state, epoch,
+                            val_history=None):
+        """Persist trainable params + optimizer state + epoch counter."""
+        import json
+
+        flat = {f"trainable/{k}": v for k, v in
+                ckpt_lib.flatten_tree(trainable).items()}
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+            flat[f"opt/{i}"] = np.asarray(leaf)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez(path, **flat)
+        with open(str(path) + ".json", "w") as f:
+            json.dump({**self._ckpt_metadata(), "epoch": epoch,
+                       "val_ADE": list(map(float, val_history or []))}, f,
+                      default=str)
+
+    def restore_training_state(self, path, trainable, opt_state):
+        """Restore a saved training state onto freshly-initialized trees;
+        returns (trainable, opt_state, epoch)."""
+        import json
+
+        flat = ckpt_lib.load_checkpoint(path)
+        tr_flat = {k[len("trainable/"):]: v for k, v in flat.items()
+                   if k.startswith("trainable/")}
+        trainable = ckpt_lib.overlay_checkpoint(trainable, tr_flat)
+        treedef = jax.tree_util.tree_structure(opt_state)
+        n = treedef.num_leaves
+        leaves = [jax.numpy.asarray(flat[f"opt/{i}"]) for i in range(n)]
+        opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        with open(str(path) + ".json") as f:
+            meta = json.load(f)
+        return trainable, opt_state, int(meta["epoch"])
 
     def _save_full_or_delta(self, path, mask):
         train_net = self.params.get("train_net", "train")

@@ -1,0 +1,74 @@
+"""Mid-run training-state checkpoint/resume (exceeds the reference, which
+never saves optimizer state — SURVEY.md §5)."""
+
+import jax
+import numpy as np
+import optax
+
+from mst_tpu import config as config_lib
+from mst_tpu.data.synthetic import make_synthetic_dataset
+from mst_tpu.train import freeze as freeze_lib
+from mst_tpu.train import steps as steps_lib
+from mst_tpu.train.trainer import Experiment
+
+
+def test_training_state_roundtrip(tmp_path):
+    df, images = make_synthetic_dataset(seed=0, n_scenes=1, n_traj=6,
+                                        total_len=12)
+    params = config_lib.get_params(overrides=dict(
+        obs_len=4, pred_len=8, waypoints=[7], n_semantic_classes=3,
+        encoder_channels=[8, 8, 16, 16, 16],
+        decoder_channels=[16, 16, 16, 8, 8], kernlen=31, nsig=4,
+        loss_scale=1000, resize_factor=0.25, temperature=1.0, n_goal=3,
+        n_traj=1, batch_size=4, lr=1e-3, n_epoch=1, dataset_name="sdd",
+        ckpt_path=str(tmp_path), train_net="mosa_2", position=["0", "1"],
+        n_round=1, seed=1, segmentation_model_fp=None))
+    exp = Experiment(params, images=images)
+    batches = exp.prepare_data(df, None, "val")
+    batch = batches[0]
+    db = exp._device_batch(batch, exp._semantic_for(batch, {}))
+
+    mask = exp._trainable_mask()
+    trainable, frozen = freeze_lib.split_params(exp.model_params, mask)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(trainable)
+    step = steps_lib.make_train_step(exp.mcfg, exp._step_config(), optimizer)
+
+    # run 3 steps, checkpoint, run 2 more
+    state = exp.model_state
+    for _ in range(3):
+        trainable, state, opt_state, _ = step(trainable, frozen, state,
+                                              opt_state, db)
+    ckpt = str(tmp_path / "train_state.npz")
+    exp.save_training_state(ckpt, trainable, opt_state, epoch=3,
+                            val_history=[1.0, 2.0])
+    cont_tr, cont_opt = trainable, opt_state
+    for _ in range(2):
+        cont_tr, state, cont_opt, m_direct = step(cont_tr, frozen, state,
+                                                  opt_state, db)
+
+    # restore into FRESH trees and replay the same 2 steps
+    exp2 = Experiment(params, images=images)
+    tr2, fz2 = freeze_lib.split_params(exp2.model_params,
+                                       exp2._trainable_mask())
+    opt2 = optimizer.init(tr2)
+    tr2, opt2, epoch = exp2.restore_training_state(ckpt, tr2, opt2)
+    assert epoch == 3
+    # restored trainable equals the saved one
+    def assert_eq(a, b):
+        if a is None and b is None:
+            return
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    jax.tree.map(assert_eq, tr2, trainable, is_leaf=lambda x: x is None)
+    state2 = exp2.model_state
+    r_tr, r_opt = tr2, opt2
+    for _ in range(2):
+        r_tr, state2, r_opt, m_resumed = step(r_tr, frozen, state2,
+                                              opt_state, db)
+    def assert_close(a, b):
+        if a is None and b is None:
+            return
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    jax.tree.map(assert_close, r_tr, cont_tr, is_leaf=lambda x: x is None)
