@@ -421,14 +421,55 @@ def _decoder_init(key, cfg: YNetConfig, traj: int | bool = False):
     return params
 
 
-def _decoder_apply(params, features):
-    """YNetDecoder.forward (ynet.py:453-471); features NHWC, coarsest last."""
+def _decoder_apply(params, features, packed_finest: bool = False):
+    """YNetDecoder.forward (ynet.py:453-471); features NHWC, coarsest last.
+
+    packed_finest runs the finest (full-resolution) level space-to-depth
+    packed (mst_tpu.ops.packed): its convs have C_out <= 32 and waste most
+    of the MXU's 128 output lanes; the packed program is the exact same
+    function (tested), so training gradients are unchanged.
+    """
     feats = features[::-1]
     x = feats[0]
     x = jax.nn.relu(layers.conv2d_apply(params["center"]["0"], x))
     x = jax.nn.relu(layers.conv2d_apply(params["center"]["1"], x))
     n = len(params["blocks"])
     for i in range(n):
+        if packed_finest and i == n - 1:
+            from mst_tpu.ops import packed as packed_lib
+
+            up_p = params["upsample"][str(i)]
+            b0 = params["blocks"][str(i)]["0"]
+            b1 = params["blocks"][str(i)]["1"]
+            pred = params["predictor"]
+            cin = up_p["weight"].shape[2]
+            lo = up_p["weight"].shape[3]
+            xq = packed_lib.packed_upsample_2x(
+                x, jnp.asarray(packed_lib.packed_upsample_kernel(cin)))
+            xq = packed_lib.packed_conv(
+                xq, packed_lib.pack_conv3x3_kernel(up_p["weight"]),
+                packed_lib.pack_bias(up_p["bias"]) if "bias" in up_p
+                else None)
+            # conv(concat(up, f)) = conv_up(up) + conv_f(f)
+            fq = packed_lib.space_to_depth(feats[i + 1])
+            yq = (packed_lib.packed_conv(
+                      xq, packed_lib.pack_conv3x3_kernel(
+                          b0["weight"][:, :, :lo, :]))
+                  + packed_lib.packed_conv(
+                      fq, packed_lib.pack_conv3x3_kernel(
+                          b0["weight"][:, :, lo:, :])))
+            if "bias" in b0:
+                yq = yq + packed_lib.pack_bias(b0["bias"])
+            yq = jax.nn.relu(yq)
+            yq = packed_lib.packed_conv(
+                yq, packed_lib.pack_conv3x3_kernel(b1["weight"]),
+                packed_lib.pack_bias(b1["bias"]) if "bias" in b1 else None)
+            yq = jax.nn.relu(yq)
+            yq = packed_lib.packed_conv(
+                yq, packed_lib.pack_conv1x1_kernel(pred["weight"]),
+                packed_lib.pack_bias(pred["bias"]) if "bias" in pred
+                else None)
+            return packed_lib.depth_to_space(yq)
         x = upsample_bilinear_2x(x)
         x = layers.conv2d_apply(params["upsample"][str(i)], x)
         x = jnp.concatenate([x, feats[i + 1]], axis=-1)
@@ -527,14 +568,15 @@ def pred_features(params, state, cfg: YNetConfig, scene_map, motion_map,
     return feats, new_state
 
 
-def pred_goal(params, features):
+def pred_goal(params, features, packed_finest=False):
     """(B,H,W,pred_len) goal/waypoint heatmap logits."""
-    return _decoder_apply(params["goal_decoder"], features)
+    return _decoder_apply(params["goal_decoder"], features, packed_finest)
 
 
-def pred_traj(params, features_with_waypoints):
+def pred_traj(params, features_with_waypoints, packed_finest=False):
     """(B,H,W,pred_len) trajectory heatmap logits."""
-    return _decoder_apply(params["traj_decoder"], features_with_waypoints)
+    return _decoder_apply(params["traj_decoder"], features_with_waypoints,
+                          packed_finest)
 
 
 def make_shared_pred_traj(params, features, n_wp: int,

@@ -134,14 +134,16 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
 
         features, new_state = ynet_lib.pred_features(
             params, state, mcfg, semantic, observed_map, train=True)
-        pred_goal_map = ynet_lib.pred_goal(params, features)
+        pred_goal_map = ynet_lib.pred_goal(params, features,
+                                           scfg.packed_decode)
         goal_loss = bce_with_logits(pred_goal_map, gt_future_map,
                                     mask) * scfg.loss_scale
 
         wp_pyramid = avg_pool_pyramid(gt_waypoint_map, len(features))
         traj_in = [jnp.concatenate([f, w], axis=-1)
                    for f, w in zip(features, wp_pyramid)]
-        pred_traj_map = ynet_lib.pred_traj(params, traj_in)
+        pred_traj_map = ynet_lib.pred_traj(params, traj_in,
+                                           scfg.packed_decode)
         traj_loss = bce_with_logits(pred_traj_map, gt_future_map,
                                     mask) * scfg.loss_scale
         loss = goal_loss + traj_loss

@@ -140,3 +140,54 @@ def test_packed_shared_decoder_equivalence(rng):
                                       packed_finest=True)(pyr)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_packed_train_decoder_and_grads(rng):
+    """Packed training decoders compute the same loss AND gradients."""
+    import jax
+    import optax
+
+    from mst_tpu.models import ynet as jynet
+    from mst_tpu.train import freeze as freeze_lib
+    from mst_tpu.train import steps as steps_lib
+
+    cfg = jynet.YNetConfig(
+        obs_len=4, pred_len=6, n_semantic_classes=3,
+        encoder_channels=(8, 8, 16, 16, 16),
+        decoder_channels=(16, 16, 16, 8, 8), waypoints=(2, 5),
+        train_net="mosa_2", position=("0", "1"), network="original")
+    params, state = jynet.init_ynet(jax.random.PRNGKey(0), cfg)
+    B, H, W = 2, 32, 64
+    batch = {
+        "semantic": jnp.asarray(
+            rng.normal(size=(1, H, W, 3)).astype(np.float32)),
+        "traj": jnp.asarray(
+            rng.uniform(5, 25, size=(B, 10, 2)).astype(np.float32)),
+        "mask": jnp.ones(B),
+    }
+    mask = freeze_lib.trainable_mask(params, cfg.train_net, cfg.position)
+    trainable, frozen = freeze_lib.split_params(params, mask)
+    optimizer = optax.adam(1e-3)
+
+    outs = {}
+    for packed in (False, True):
+        scfg = steps_lib.StepConfig(
+            obs_len=4, pred_len=6, waypoints=(2, 5), template_size=256,
+            kernlen=31, nsig=4.0, loss_scale=1000.0, resize_factor=0.25,
+            temperature=1.0, n_goal=2, n_traj=1, packed_decode=packed)
+        step = steps_lib.make_train_step(cfg, scfg, optimizer)
+        tr, st, opt, metrics = step(trainable, frozen, state,
+                                    optimizer.init(trainable), batch)
+        outs[packed] = (jax.tree.map(
+            lambda x: None if x is None else np.asarray(x), tr,
+            is_leaf=lambda x: x is None), float(metrics["loss"]))
+
+    np.testing.assert_allclose(outs[False][1], outs[True][1], rtol=1e-5)
+
+    def assert_close(a, b):
+        if a is None and b is None:
+            return
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    jax.tree.map(assert_close, outs[False][0], outs[True][0],
+                 is_leaf=lambda x: x is None)
