@@ -50,10 +50,13 @@ def _map_decoder_key(rest):
     return None
 
 
-def _map_stage_conv(stage: str, j: int) -> str:
-    """torch Sequential index -> conv slot (stage 0: [conv, relu];
-    stages>=1: [pool, conv, relu, conv, relu], reference ynet.py:192-211)."""
-    if stage == "0":
+def _map_stage_conv(group: str, stage: str, j: int) -> str:
+    """torch Sequential index -> conv slot.
+
+    Stage 0 of `stages`/`scene_stages`/`motion_stages` is the stem
+    [conv, relu] (ynet.py:192-197,306-319); every other stage — including
+    ALL fusion_stages — is [pool, conv, relu, conv, relu]."""
+    if stage == "0" and group != "fusion_stages":
         return "conv0"
     return {1: "conv0", 3: "conv1"}[j]
 
@@ -85,7 +88,7 @@ def convert_torch_ynet(state_dict, position=()):
             r"\.(\d+)\.(\d+)\.(.+)$", name)
         if m:
             group, stage, j, rest = m.groups()
-            conv = _map_stage_conv(stage, int(j))
+            conv = _map_stage_conv(group, stage, int(j))
             base = f"encoder/{group}/{stage}/{conv}"
             # in-layer adapters: rest like 'serial_layer.0.weight' (BN),
             # 'serial_layer.1.weight' (conv), 'parallel_layer.k.weight'
