@@ -222,7 +222,8 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
             mcfg, scfg, params, batch["semantic"], traj, train=False)
         features, _ = ynet_lib.pred_features(
             params, state, mcfg, semantic, observed_map, train=False)
-        pred_goal_map = ynet_lib.pred_goal(params, features)  # (B,H,W,pred)
+        pred_goal_map = ynet_lib.pred_goal(
+            params, features, scfg.packed_decode)  # (B,H,W,pred)
         pred_waypoint_map = pred_goal_map[..., waypoints]  # (B,H,W,n_wp)
         pred_wp_sigmoid = jax.nn.sigmoid(pred_waypoint_map / scfg.temperature)
 
