@@ -253,14 +253,59 @@ def _stage_apply(params, state, cfg, level, x, train, first_stage):
     return y, new_state
 
 
-def _encoder_apply(params, state, cfg: YNetConfig, x, train):
+def can_pack_stage0(cfg: YNetConfig) -> bool:
+    """Stage 0 can run space-to-depth packed when its conv is plain or LoRA
+    (merged weight) and no block adapter sits at position 0."""
+    if cfg.network == "fusion":
+        return False
+    if cfg.conv_kind(0) == "adapter_layer":
+        return False
+    is_block_adapter = (("serial" in cfg.train_net
+                         or "parallel" in cfg.train_net)
+                        and "Layer" not in cfg.train_net)
+    if is_block_adapter and "0" in cfg.position:
+        return False
+    return True
+
+
+def _encoder_apply(params, state, cfg: YNetConfig, x, train,
+                   packed_stage0=False):
     """Forward the plain/L/B encoder; returns (features list, new_state).
 
     Feature list has len(channels)+1 entries: 5 stage outputs plus a final
     max-pooled map (reference: ynet.py:213-215,229-234).
+
+    packed_stage0 runs the full-resolution stem conv space-to-depth packed
+    (requires can_pack_stage0(cfg)); features[0] is then the PACKED
+    (B, H/2, W/2, 4C) map — consumers must accept it (the packed decoders
+    do) — and the stage-1 maxpool becomes a packed channel-group max,
+    exactly equal to MaxPool2d(2, 2).
     """
     n_stage = len(cfg.encoder_channels)
     features = []
+    if packed_stage0:
+        from mst_tpu.ops import packed as packed_lib
+
+        assert can_pack_stage0(cfg), cfg.train_net
+        conv0 = params["stages"]["0"]["conv0"]
+        if cfg.conv_kind(0) == "lora":
+            w0 = layers.lora_merged_weight(conv0, cfg.lora_rank)
+        else:
+            w0 = conv0["weight"]
+        xq = packed_lib.space_to_depth(x)
+        yq = packed_lib.packed_conv(
+            xq, packed_lib.pack_conv3x3_kernel(w0),
+            packed_lib.pack_bias(conv0["bias"]) if "bias" in conv0
+            else None)
+        yq = jax.nn.relu(yq)
+        features.append(yq)  # PACKED features[0]
+        C0 = cfg.encoder_channels[0]
+        B_, Hp, Wp, _ = yq.shape
+        # MaxPool2d(2,2) == max over the 4 packed sub-position groups
+        x = yq.reshape(B_, Hp, Wp, 4, C0).max(axis=3)
+        start_stage = 1
+    else:
+        start_stage = 0
     stage_state = dict(state.get("stages", {}))
     adapters = params.get("adapters", {})
     adapter_state = dict(state.get("adapters", {}))
@@ -269,14 +314,17 @@ def _encoder_apply(params, state, cfg: YNetConfig, x, train):
     is_parallel_block = ("parallel" in cfg.train_net
                          and "Layer" not in cfg.train_net and adapters)
 
-    for i in range(n_stage):
+    for i in range(start_stage, n_stage):
         sp = params["stages"][str(i)]
         ss = state.get("stages", {}).get(str(i), {})
+        # when stage 0 ran packed, x is already pooled for stage 1
+        already_pooled = packed_stage0 and i == 1
+        first = (i == 0) or already_pooled
         if is_parallel_block and str(i) in adapters:
             # parallel block adapter sees the stage input (post-pool for
             # stages >= 1, reference ynet.py:267-279)
-            branch_in = x if i == 0 else max_pool_2x2(x)
-            y, ns = _stage_apply(sp, ss, cfg, i, x, train, first_stage=(i == 0))
+            branch_in = x if first else max_pool_2x2(x)
+            y, ns = _stage_apply(sp, ss, cfg, i, x, train, first_stage=first)
             ad, ads = _adapter_block_apply(adapters[str(i)],
                                            adapter_state.get(str(i), {}),
                                            cfg, branch_in, train)
@@ -284,7 +332,7 @@ def _encoder_apply(params, state, cfg: YNetConfig, x, train):
             if ads:
                 adapter_state[str(i)] = ads
         else:
-            y, ns = _stage_apply(sp, ss, cfg, i, x, train, first_stage=(i == 0))
+            y, ns = _stage_apply(sp, ss, cfg, i, x, train, first_stage=first)
             if is_serial_block and str(i) in adapters:
                 y, ads = _adapter_block_apply(adapters[str(i)],
                                               adapter_state.get(str(i), {}),
@@ -421,14 +469,18 @@ def _decoder_init(key, cfg: YNetConfig, traj: int | bool = False):
     return params
 
 
-def _decoder_apply(params, features, packed_finest: bool = False):
+def _decoder_apply(params, features, packed_finest: bool = False,
+                   features0_packed: bool = False):
     """YNetDecoder.forward (ynet.py:453-471); features NHWC, coarsest last.
 
     packed_finest runs the finest (full-resolution) level space-to-depth
     packed (mst_tpu.ops.packed): its convs have C_out <= 32 and waste most
     of the MXU's 128 output lanes; the packed program is the exact same
     function (tested), so training gradients are unchanged.
+    features0_packed marks features[0] as already space-to-depth packed
+    (packed_stage0 encoder); requires packed_finest.
     """
+    assert packed_finest or not features0_packed
     feats = features[::-1]
     x = feats[0]
     x = jax.nn.relu(layers.conv2d_apply(params["center"]["0"], x))
@@ -451,7 +503,8 @@ def _decoder_apply(params, features, packed_finest: bool = False):
                 packed_lib.pack_bias(up_p["bias"]) if "bias" in up_p
                 else None)
             # conv(concat(up, f)) = conv_up(up) + conv_f(f)
-            fq = packed_lib.space_to_depth(feats[i + 1])
+            fq = (feats[i + 1] if features0_packed
+                  else packed_lib.space_to_depth(feats[i + 1]))
             yq = (packed_lib.packed_conv(
                       xq, packed_lib.pack_conv3x3_kernel(
                           b0["weight"][:, :, :lo, :]))
@@ -549,10 +602,12 @@ def motion_embedding(params, cfg, x):
 
 
 def pred_features(params, state, cfg: YNetConfig, scene_map, motion_map,
-                  train=False):
+                  train=False, packed_stage0=False):
     """Encoder forward. scene_map (B,H,W,Cs), motion_map (B,H,W,obs_len).
 
     Returns (features list, new_state). reference: ynet.py:570-575.
+    With packed_stage0, features[0] is the space-to-depth packed stem output
+    (see _encoder_apply).
     """
     enc_state = state.get("encoder", {})
     if cfg.network == "fusion":
@@ -561,16 +616,18 @@ def pred_features(params, state, cfg: YNetConfig, scene_map, motion_map,
     else:
         x = jnp.concatenate([scene_map, motion_map], axis=-1)
         feats, new_enc = _encoder_apply(params["encoder"], enc_state, cfg, x,
-                                        train)
+                                        train, packed_stage0=packed_stage0)
     new_state = dict(state)
     if new_enc:
         new_state["encoder"] = new_enc
     return feats, new_state
 
 
-def pred_goal(params, features, packed_finest=False):
+def pred_goal(params, features, packed_finest=False,
+              features0_packed=False):
     """(B,H,W,pred_len) goal/waypoint heatmap logits."""
-    return _decoder_apply(params["goal_decoder"], features, packed_finest)
+    return _decoder_apply(params["goal_decoder"], features, packed_finest,
+                          features0_packed)
 
 
 def pred_traj(params, features_with_waypoints, packed_finest=False):
@@ -580,7 +637,8 @@ def pred_traj(params, features_with_waypoints, packed_finest=False):
 
 
 def make_shared_pred_traj(params, features, n_wp: int,
-                          packed_finest: bool = False):
+                          packed_finest: bool = False,
+                          features0_packed: bool = False):
     """K-sample trajectory decoding with hoisted encoder contributions.
 
     The eval loop decodes K goal samples against the SAME encoder features
@@ -614,7 +672,10 @@ def make_shared_pred_traj(params, features, n_wp: int,
             p["bias"] = conv_params["bias"]
         return layers.conv2d_apply(p, x)
 
+    assert packed_finest or not features0_packed
     enc_ch = [f.shape[-1] for f in feats_rev]  # coarsest-first channels
+    if features0_packed:
+        enc_ch[-1] //= 4  # features[0] carries 4C packed channels
 
     # center block first conv input = concat(f_coarsest, wp_coarsest)
     center_enc = conv_slice(d["center"]["0"], feats_rev[0], 0, enc_ch[0])
@@ -624,6 +685,9 @@ def make_shared_pred_traj(params, features, n_wp: int,
     for i in range(L - 1):
         lo = up_out[i]
         hi = lo + enc_ch[i + 1]
+        if features0_packed and i == L - 2:
+            block_enc.append(None)  # computed packed below
+            continue
         block_enc.append(conv_slice(d["blocks"][str(i)]["0"],
                                     feats_rev[i + 1], lo, hi))
 
@@ -660,8 +724,15 @@ def make_shared_pred_traj(params, features, n_wp: int,
                 d["predictor"]["weight"]),
             "pred_b": (packed_lib.pack_bias(d["predictor"]["bias"])
                        if "bias" in d["predictor"] else None),
-            "enc": packed_lib.space_to_depth(block_enc[i_last]),
         }
+        if features0_packed:
+            # enc contribution computed directly in packed space
+            pk["enc"] = packed_lib.packed_conv(
+                feats_rev[i_last + 1],
+                packed_lib.pack_conv3x3_kernel(
+                    b0_p["weight"][:, :, lo_l:hi_l, :]))
+        else:
+            pk["enc"] = packed_lib.space_to_depth(block_enc[i_last])
 
     def tile(x, KB):
         reps = KB // B

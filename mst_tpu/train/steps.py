@@ -115,6 +115,7 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
     Equivalent work to utils/train_epoch.py:44-126 but fused on device.
     """
     waypoints = jnp.asarray(scfg.waypoints)
+    pack0 = bool(scfg.packed_decode) and ynet_lib.can_pack_stage0(mcfg)
 
     def loss_fn(trainable, frozen, state, batch):
         params = merge_params(trainable, frozen)
@@ -133,17 +134,20 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
                                               scfg.template_size)
 
         features, new_state = ynet_lib.pred_features(
-            params, state, mcfg, semantic, observed_map, train=True)
+            params, state, mcfg, semantic, observed_map, train=True,
+            packed_stage0=pack0)
         pred_goal_map = ynet_lib.pred_goal(params, features,
-                                           scfg.packed_decode)
+                                           scfg.packed_decode, pack0)
         goal_loss = bce_with_logits(pred_goal_map, gt_future_map,
                                     mask) * scfg.loss_scale
 
         wp_pyramid = avg_pool_pyramid(gt_waypoint_map, len(features))
-        traj_in = [jnp.concatenate([f, w], axis=-1)
-                   for f, w in zip(features, wp_pyramid)]
-        pred_traj_map = ynet_lib.pred_traj(params, traj_in,
-                                           scfg.packed_decode)
+        # trajectory decode in the split (shared) form — identical function
+        # to conv-over-concat (tested), and it accepts packed features[0]
+        decode = ynet_lib.make_shared_pred_traj(
+            params, features, len(scfg.waypoints),
+            packed_finest=scfg.packed_decode, features0_packed=pack0)
+        pred_traj_map = decode(wp_pyramid)
         traj_loss = bce_with_logits(pred_traj_map, gt_future_map,
                                     mask) * scfg.loss_scale
         loss = goal_loss + traj_loss
@@ -213,6 +217,7 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
     """
     waypoints = jnp.asarray(scfg.waypoints)
     n_wp = len(scfg.waypoints)
+    pack0 = bool(scfg.packed_decode) and ynet_lib.can_pack_stage0(mcfg)
 
     @jax.jit
     def forward(params, state, batch, key):
@@ -221,9 +226,10 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
         semantic, observed_map = _prepare_inputs(
             mcfg, scfg, params, batch["semantic"], traj, train=False)
         features, _ = ynet_lib.pred_features(
-            params, state, mcfg, semantic, observed_map, train=False)
+            params, state, mcfg, semantic, observed_map, train=False,
+            packed_stage0=pack0)
         pred_goal_map = ynet_lib.pred_goal(
-            params, features, scfg.packed_decode)  # (B,H,W,pred)
+            params, features, scfg.packed_decode, pack0)  # (B,H,W,pred)
         pred_waypoint_map = pred_goal_map[..., waypoints]  # (B,H,W,n_wp)
         pred_wp_sigmoid = jax.nn.sigmoid(pred_waypoint_map / scfg.temperature)
 
@@ -261,9 +267,13 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
         the trajectory decoder are hoisted out of the K loop
         (ynet.make_shared_pred_traj): conv linearity makes them K-invariant.
         """
-        H, W = features[0].shape[-3], features[0].shape[-2]
+        if pack0:  # features[0] is space-to-depth packed (half-res, 4C)
+            H, W = features[1].shape[-3] * 2, features[1].shape[-2] * 2
+        else:
+            H, W = features[0].shape[-3], features[0].shape[-2]
         decode = ynet_lib.make_shared_pred_traj(
-            params, features, n_wp, packed_finest=scfg.packed_decode)
+            params, features, n_wp, packed_finest=scfg.packed_decode,
+            features0_packed=pack0)
 
         def decode_chunk(waypoint_chunk):
             """(Kc, B, n_wp, 2) -> (Kc, B, pred_len, 2)."""

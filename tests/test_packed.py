@@ -191,3 +191,84 @@ def test_packed_train_decoder_and_grads(rng):
 
     jax.tree.map(assert_close, outs[False][0], outs[True][0],
                  is_leaf=lambda x: x is None)
+
+
+def test_packed_stage0_encoder_equivalence(rng):
+    """packed_stage0 encoder: features[0] (unpacked view) and all deeper
+    features equal the standard encoder."""
+    import jax
+
+    from mst_tpu.models import ynet as jynet
+
+    for train_net, position in [("train", ()), ("mosa_2", ("0", "1"))]:
+        cfg = jynet.YNetConfig(
+            obs_len=4, pred_len=6, n_semantic_classes=3,
+            encoder_channels=(8, 8, 16, 16, 16),
+            decoder_channels=(16, 16, 16, 8, 8), waypoints=(5,),
+            train_net=train_net, position=position, network="original")
+        assert jynet.can_pack_stage0(cfg)
+        params, state = jynet.init_ynet(jax.random.PRNGKey(0), cfg)
+        B, H, W = 2, 32, 64
+        scene = jnp.asarray(
+            rng.normal(size=(B, H, W, 3)).astype(np.float32))
+        motion = jnp.asarray(
+            rng.normal(size=(B, H, W, cfg.obs_len)).astype(np.float32))
+        want, _ = jynet.pred_features(params, state, cfg, scene, motion)
+        got, _ = jynet.pred_features(params, state, cfg, scene, motion,
+                                     packed_stage0=True)
+        np.testing.assert_allclose(
+            np.asarray(P.depth_to_space(got[0])), np.asarray(want[0]),
+            rtol=1e-5, atol=1e-5)
+        for a, b in zip(got[1:], want[1:]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_cannot_pack_stage0_variants():
+    from mst_tpu.models import ynet as jynet
+
+    base = dict(obs_len=4, pred_len=6, n_semantic_classes=4,
+                encoder_channels=(8, 8, 16, 16, 16),
+                decoder_channels=(16, 16, 16, 8, 8), waypoints=(5,))
+    assert not jynet.can_pack_stage0(jynet.YNetConfig(
+        **base, train_net="train", network="fusion", n_fusion=2))
+    assert not jynet.can_pack_stage0(jynet.YNetConfig(
+        **base, train_net="serial", position=("0",), network="original"))
+    assert not jynet.can_pack_stage0(jynet.YNetConfig(
+        **base, train_net="parallelLayer_3x3", position=("0",),
+        network="original"))
+    assert jynet.can_pack_stage0(jynet.YNetConfig(
+        **base, train_net="serial", position=("1",), network="original"))
+
+
+def test_packed_eval_forward_equivalence(rng):
+    """Full eval forward maps equal with packed pipeline on vs off."""
+    import jax
+
+    from mst_tpu.models import ynet as jynet
+    from mst_tpu.train import steps as steps_lib
+
+    cfg = jynet.YNetConfig(
+        obs_len=4, pred_len=6, n_semantic_classes=3,
+        encoder_channels=(8, 8, 16, 16, 16),
+        decoder_channels=(16, 16, 16, 8, 8), waypoints=(5,),
+        train_net="train", network="original")
+    params, state = jynet.init_ynet(jax.random.PRNGKey(0), cfg)
+    B, H, W = 2, 32, 64
+    batch = {
+        "semantic": jnp.asarray(
+            rng.normal(size=(1, H, W, 3)).astype(np.float32)),
+        "traj": jnp.asarray(
+            rng.uniform(5, 25, size=(B, 10, 2)).astype(np.float32)),
+        "mask": jnp.ones(B),
+    }
+    outs = {}
+    for packed in (False, True):
+        scfg = steps_lib.StepConfig(
+            obs_len=4, pred_len=6, waypoints=(5,), template_size=256,
+            kernlen=31, nsig=4.0, loss_scale=1000.0, resize_factor=0.25,
+            temperature=1.0, n_goal=3, n_traj=1, packed_decode=packed)
+        out = steps_lib.make_eval_step(cfg, scfg)(
+            params, state, batch, jax.random.PRNGKey(7))
+        outs[packed] = np.asarray(out["ade"])
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-3)
