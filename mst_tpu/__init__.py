@@ -15,3 +15,17 @@ adaptation via low-rank adapters), built TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def experiment(params, **kwargs):
+    """Convenience constructor: mst_tpu.experiment(params_dict)."""
+    from mst_tpu.train.trainer import Experiment
+
+    return Experiment(params, **kwargs)
+
+
+def load_config(config_filename, **overrides):
+    """Convenience wrapper over mst_tpu.config.get_params."""
+    from mst_tpu.config import get_params
+
+    return get_params(config_filename=config_filename, overrides=overrides)
