@@ -10,7 +10,6 @@ variation-factor range). CLI: python -m mst_tpu.data.sdd ...
 import argparse
 import os
 
-import numpy as np
 import pandas as pd
 
 from mst_tpu.data.trajectories import (

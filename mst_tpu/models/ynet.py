@@ -15,7 +15,7 @@ set of pure functions compiled under jit, and layout is NHWC for the TPU MXU.
 """
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

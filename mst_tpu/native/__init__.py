@@ -7,7 +7,6 @@ fallback when no compiler is available.
 """
 
 import ctypes
-import os
 import pathlib
 import subprocess
 

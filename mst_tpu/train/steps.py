@@ -15,7 +15,6 @@ Functions are built per static config by `make_train_step` / `make_eval_step`
 and cached by (image shape, batch size) bucket through jax.jit.
 """
 
-import functools
 from typing import Any, NamedTuple
 
 import jax

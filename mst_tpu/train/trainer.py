@@ -9,7 +9,6 @@ over a device mesh when one is provided.
 """
 
 import collections
-import copy
 import os
 import time
 
@@ -28,7 +27,7 @@ from mst_tpu.train import checkpoints as ckpt_lib
 from mst_tpu.train import freeze as freeze_lib
 from mst_tpu.train import steps as steps_lib
 from mst_tpu.utils.cache import enable_compilation_cache
-from mst_tpu.utils.profiling import ThroughputMeter, trace
+from mst_tpu.utils.profiling import ThroughputMeter
 
 enable_compilation_cache()
 
