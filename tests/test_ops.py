@@ -201,3 +201,33 @@ class TestKMeans:
         assert assign.shape == (4, 200)
         assert centers.shape == (4, 5, 2)
         assert np.isfinite(np.asarray(centers)).all()
+
+
+class TestSamplingDistribution:
+    def test_without_replacement_matches_plackett_luce(self):
+        """Gumbel top-k draws follow the target distribution: marginal
+        inclusion frequencies track probabilities (chi-square-style bound).
+        This is the statistical-parity instrument for torch.multinomial
+        (docs/parity.md)."""
+        key = jax.random.PRNGKey(0)
+        probs = np.array([0.4, 0.3, 0.2, 0.06, 0.03, 0.01] + [0.0] * 10,
+                         np.float32).reshape(1, 1, 4, 4)
+        n_rep, k = 3000, 2
+        keys = jax.random.split(key, n_rep)
+        draw = jax.jit(jax.vmap(
+            lambda kk: sample_heatmap(kk, jnp.asarray(probs), k)))
+        coords = np.asarray(draw(keys)).reshape(n_rep, k, 2)
+        flat = (coords[..., 1] * 4 + coords[..., 0]).astype(int)
+        counts = np.bincount(flat.reshape(-1), minlength=16)
+        # exact top-2 inclusion probabilities under Plackett-Luce
+        p = probs.reshape(-1)
+        incl = np.zeros(16)
+        for i in range(16):
+            if p[i] == 0:
+                continue
+            incl[i] = p[i] + sum(
+                p[j] * p[i] / (1 - p[j]) for j in range(16)
+                if j != i and p[j] > 0)
+        freq = counts / n_rep
+        np.testing.assert_allclose(freq[:6], incl[:6], atol=0.04)
+        assert counts[6:].sum() == 0  # zero-probability cells never drawn
