@@ -98,8 +98,15 @@ def get_params(args=None, config_filename=None, overrides=None) -> dict:
     params = dict(_DEFAULTS)
     fname = config_filename or (args.config_filename if args else None)
     if fname:
-        path = fname if os.path.isabs(fname) else os.path.join(CONFIG_DIR,
-                                                               fname)
+        # resolve like the reference: a path that exists (absolute or
+        # CWD-relative, incl. a local config/ dir) wins; otherwise fall
+        # back to the packaged reference configs
+        if os.path.exists(fname):
+            path = fname
+        elif os.path.exists(os.path.join("config", fname)):
+            path = os.path.join("config", fname)
+        else:
+            path = os.path.join(CONFIG_DIR, fname)
         with open(path) as f:
             params.update(yaml.safe_load(f))
 
