@@ -16,13 +16,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _kmeans_single(key, X, num_clusters: int, tol: float, iter_limit: int):
+def _kmeans_single(key, X, num_clusters: int, tol: float, iter_limit: int,
+                   init_centers=None):
     """K-means over X (N, D) -> (assignments (N,), centers (k, D))."""
     N = X.shape[0]
     init_key, loop_key = jax.random.split(key)
-    # initialize: sample k distinct points (kmeans.py:9-19)
-    idx = jax.random.choice(init_key, N, shape=(num_clusters,), replace=False)
-    centers0 = X[idx]
+    if init_centers is None:
+        # initialize: sample k distinct points (kmeans.py:9-19)
+        idx = jax.random.choice(init_key, N, shape=(num_clusters,),
+                                replace=False)
+        centers0 = X[idx]
+    else:
+        # resume semantics (kmeans.py:62-68): snap each given center to the
+        # closest data point before iterating
+        d2 = jnp.sum((X[:, None, :] - init_centers[None, :, :]) ** 2, axis=-1)
+        centers0 = X[jnp.argmin(d2, axis=0)]
 
     def assign(centers):
         # (N, k) squared euclidean distances (kmeans.py:146-159)
@@ -54,7 +62,7 @@ def _kmeans_single(key, X, num_clusters: int, tol: float, iter_limit: int):
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def batched_kmeans(key, X, num_clusters: int, tol: float = 1e-3,
-                   iter_limit: int = 100):
+                   iter_limit: int = 1000, init_centers=None):
     """Cluster a batch of point sets.
 
     Args:
@@ -62,13 +70,20 @@ def batched_kmeans(key, X, num_clusters: int, tol: float = 1e-3,
       X: (B, N, D) point sets (TTST: B persons x 10000 goal samples x 2).
       num_clusters: k (TTST: n_goal - 1, evaluate.py:141).
       tol / iter_limit: stopping rule matching the reference call
-        (evaluate.py:153-154 uses tol=0.001, iter_limit=1000; 100 iterations
-        is far past convergence for 2-D goal clouds).
+        (evaluate.py:153-154: tol=0.001, iter_limit=1000; the while_loop
+        exits at tol, so the limit is a safety net, not a cost).
+      init_centers: optional (B, k, D) initial centers; when given, each is
+        snapped to its nearest data point first (reference kmeans.py:62-68
+        "resuming" path). Used by parity tests for deterministic runs.
 
     Returns:
       assignments (B, N) int32, centers (B, k, D) float.
     """
     keys = jax.random.split(key, X.shape[0])
+    if init_centers is None:
+        return jax.vmap(
+            lambda k, x: _kmeans_single(k, x, num_clusters, tol, iter_limit)
+        )(keys, X)
     return jax.vmap(
-        lambda k, x: _kmeans_single(k, x, num_clusters, tol, iter_limit)
-    )(keys, X)
+        lambda k, x, c: _kmeans_single(k, x, num_clusters, tol, iter_limit, c)
+    )(keys, X, init_centers)

@@ -1,0 +1,105 @@
+"""Import the ACTUAL reference source at /root/reference as a test oracle.
+
+The reference depends on two packages this image does not ship:
+
+- ``loralib`` (0.1.1): only ``loralib.Conv2d`` is used (reference
+  models/ynet.py:4,141-144). We vendor a minimal functional stub below with
+  the public loralib semantics (factored ``lora_B @ lora_A`` merged-weight
+  conv, scaling = alpha / r, zero-init B) — enough to instantiate the real
+  ``YNet`` and export state dicts with the real parameter names.
+- ``segmentation_models_pytorch``: only needed when
+  ``segmentation_model_fp`` is not None; parity tests pass ``None`` so the
+  backbone is ``nn.Identity`` (reference models/ynet.py:495-507).
+
+``load_reference()`` installs the stub, puts /root/reference on sys.path and
+returns a namespace of the reference modules. All parity tests go through
+this so any drift between mst_tpu and the real reference code fails loudly.
+"""
+
+import math
+import os
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+os.environ.setdefault("MPLBACKEND", "Agg")
+
+
+def _build_loralib_stub():
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class Conv2d(nn.Conv2d):
+        """Minimal loralib.Conv2d: base conv (frozen) + low-rank update.
+
+        Matches loralib's factor shapes — lora_A (r*k, in*k),
+        lora_B (out*k, r*k) — and its effective weight
+        W + (B @ A).view(W.shape) * (alpha / r), so converted checkpoints
+        exercise the exact name mapping and merge formula.
+        """
+
+        def __init__(self, in_channels, out_channels, kernel_size, r=0,
+                     lora_alpha=1, lora_dropout=0.0, merge_weights=True,
+                     **kwargs):
+            super().__init__(in_channels, out_channels, kernel_size, **kwargs)
+            assert isinstance(kernel_size, int)
+            self.r = r
+            self.lora_alpha = lora_alpha
+            self.merged = False
+            if r > 0:
+                self.lora_A = nn.Parameter(self.weight.new_zeros(
+                    (r * kernel_size, in_channels * kernel_size)))
+                self.lora_B = nn.Parameter(self.weight.new_zeros(
+                    (out_channels // self.groups * kernel_size,
+                     r * kernel_size)))
+                self.scaling = self.lora_alpha / self.r
+                self.weight.requires_grad = False
+                nn.init.kaiming_uniform_(self.lora_A, a=math.sqrt(5))
+                nn.init.zeros_(self.lora_B)
+
+        def forward(self, x):
+            if self.r > 0 and not self.merged:
+                w = self.weight + (
+                    self.lora_B @ self.lora_A).view(self.weight.shape
+                                                    ) * self.scaling
+                return F.conv2d(x, w, self.bias, self.stride, self.padding,
+                                self.dilation, self.groups)
+            return super().forward(x)
+
+    mod = types.ModuleType("loralib")
+    mod.Conv2d = Conv2d
+    return mod
+
+
+_cache = None
+
+
+def load_reference():
+    """Returns a namespace with the reference's modules (singleton)."""
+    global _cache
+    if _cache is not None:
+        return _cache
+
+    if "loralib" not in sys.modules:
+        sys.modules["loralib"] = _build_loralib_stub()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    import utils.data_utils as ref_data_utils
+    import utils.evaluate as ref_evaluate
+    import utils.image_utils as ref_image_utils
+    import utils.kmeans as ref_kmeans
+    import utils.softargmax as ref_softargmax
+    import models.ynet as ref_ynet
+
+    ns = types.SimpleNamespace(
+        data_utils=ref_data_utils,
+        evaluate=ref_evaluate,
+        image_utils=ref_image_utils,
+        kmeans=ref_kmeans,
+        softargmax=ref_softargmax,
+        ynet=ref_ynet,
+    )
+    _cache = ns
+    return ns

@@ -1,0 +1,424 @@
+"""Parity against the ACTUAL reference source (/root/reference).
+
+Round-1 parity tests validated mst_tpu against hand-built torch mirrors;
+these tests instead import the reference's own modules (via
+tests/reference_loader.py, which stubs only loralib) and assert:
+
+- numeric kernels match the real reference implementations
+  (softargmax.py:26-81, image_utils.py:7-63,85-135, evaluate.py:9-34,
+  kmeans.py:22-108, data_utils.py:23-233);
+- the real ``models.ynet.YNet`` forward (plain / LoRA / adapter / semantic /
+  embed / fusion variants) equals the mst_tpu forward after running the real
+  ``state_dict()`` through ``mst_tpu.models.convert.convert_torch_ynet`` —
+  so the converter's name mapping is checked against reference-produced
+  names, not mirror-produced ones (overlay with strict=True fails on any
+  unmapped or unknown key).
+"""
+
+import contextlib
+
+import numpy as np
+import pandas as pd
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from mst_tpu.data import images as jimages
+from mst_tpu.data import trajectories as jtraj
+from mst_tpu.models import ynet as jynet
+from mst_tpu.models.convert import convert_torch_ynet
+from mst_tpu.ops.heatmap import rasterize_dist, rasterize_gaussian
+from mst_tpu.ops.kmeans import batched_kmeans
+from mst_tpu.ops.pooling import avg_pool_pyramid
+from mst_tpu.ops.sampling import sample_heatmap
+from mst_tpu.ops.softargmax import softargmax2d, softargmax_on_prob_map
+from mst_tpu.train.checkpoints import overlay_checkpoint
+from mst_tpu.train.steps import cws_gaussian_prior
+from tests.reference_loader import load_reference
+
+ref = load_reference()
+
+
+# ---------------------------------------------------------------------------
+# numeric kernels vs the reference's own implementations
+# ---------------------------------------------------------------------------
+
+def test_softargmax_vs_reference(rng):
+    logits = rng.normal(size=(3, 5, 17, 23)).astype(np.float32) * 4.0
+    mod = ref.softargmax.SoftArgmax2D(normalized_coordinates=False)
+    with torch.no_grad():
+        expected = mod(torch.tensor(logits)).numpy()  # (B, C, 2) x,y
+    got = np.asarray(softargmax2d(jnp.asarray(logits)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_softargmax_on_prob_map_vs_reference(rng):
+    probs = rng.uniform(size=(2, 4, 9, 13)).astype(np.float32)
+    probs /= probs.sum(axis=(-2, -1), keepdims=True)
+    # unbound method: softargmax_on_softmax_map touches no instance state
+    # (models/ynet.py:588-600)
+    expected = ref.ynet.YNet.softargmax_on_softmax_map(
+        None, torch.tensor(probs)).numpy()
+    got = np.asarray(softargmax_on_prob_map(jnp.asarray(probs)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kernlen,nsig", [(31, 4), (81, 4)])
+def test_gaussian_patch_vs_reference(rng, kernlen, nsig):
+    """rasterize_gaussian == get_patch(create_gaussian_heatmap_template)."""
+    size, H, W = 200, 40, 56
+    template = ref.image_utils.create_gaussian_heatmap_template(
+        size=size, kernlen=kernlen, nsig=nsig, normalize=False)
+    traj = np.stack([rng.uniform(2, W - 2, size=8),
+                     rng.uniform(2, H - 2, size=8)], axis=1)
+    expected = np.stack(
+        ref.image_utils.get_patch(template, traj, H, W)).astype(np.float32)
+    got = np.asarray(rasterize_gaussian(jnp.asarray(traj), H, W,
+                                        kernlen=kernlen, nsig=nsig))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_dist_patch_vs_reference(rng):
+    """rasterize_dist == get_patch(create_dist_mat)."""
+    size, H, W = 300, 48, 64
+    template = ref.image_utils.create_dist_mat(size=size)
+    traj = np.stack([rng.uniform(0, W - 1, size=6),
+                     rng.uniform(0, H - 1, size=6)], axis=1)
+    expected = np.stack(
+        ref.image_utils.get_patch(template, traj, H, W)).astype(np.float32)
+    got = np.asarray(rasterize_dist(jnp.asarray(traj), H, W,
+                                    template_size=size))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("rot", [False, True])
+def test_cws_gaussian_prior_vs_reference(rng, rot):
+    H, W = 36, 44
+    mean = rng.uniform(5, 30, size=2).astype(np.float32)
+    dist = rng.normal(size=2).astype(np.float32) * 10
+    sigma_factor, ratio = 6.0, 2.0
+    expected = ref.evaluate.torch_multivariate_gaussian_heatmap(
+        torch.tensor(mean), H, W, torch.tensor(dist),
+        torch.tensor(sigma_factor), ratio, torch.device("cpu"),
+        rot=rot).numpy()
+    got = np.asarray(cws_gaussian_prior(
+        jnp.asarray(mean), jnp.asarray(dist), jnp.asarray(sigma_factor),
+        ratio, rot, H, W))
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-6)
+
+
+def test_kmeans_vs_reference_given_init(rng):
+    """Same (snapped) initial centers -> same converged centers."""
+    k = 4
+    modes = np.array([[5.0, 5.0], [40.0, 8.0], [10.0, 45.0], [44.0, 40.0]])
+    X = (modes[rng.integers(0, k, size=600)]
+         + rng.normal(size=(600, 2)) * 1.5).astype(np.float32)
+    init = X[:k].copy()  # data points -> reference snap keeps them verbatim
+
+    choice_t, centers_t = ref.kmeans.kmeans(
+        torch.tensor(X), k, cluster_centers=torch.tensor(init),
+        tol=1e-3, tqdm_flag=False, iter_limit=1000)
+    _, centers_j = batched_kmeans(
+        jax.random.PRNGKey(0), jnp.asarray(X)[None], k, tol=1e-3,
+        iter_limit=1000, init_centers=jnp.asarray(init)[None])
+
+    order = np.lexsort(centers_t.numpy().T)
+    order_j = np.lexsort(np.asarray(centers_j[0]).T)
+    np.testing.assert_allclose(np.asarray(centers_j[0])[order_j],
+                               centers_t.numpy()[order], rtol=1e-3, atol=1e-3)
+
+
+def test_sampling_coordinate_convention_vs_reference(rng):
+    """Peaked maps -> deterministic samples; checks the idx->(x,y) unravel
+    (image_utils.py:110-135: x = idx % W, y = idx // W)."""
+    B, T, H, W = 3, 2, 12, 17
+    prob = np.full((B, T, H, W), 1e-9, dtype=np.float32)
+    peaks = rng.integers(0, H * W, size=(B, T))
+    for b in range(B):
+        for t in range(T):
+            prob[b, t].flat[peaks[b, t]] = 1.0
+    expected = ref.image_utils.sampling(
+        torch.tensor(prob), num_samples=1, rel_threshold=0.05).numpy()
+    got = np.asarray(sample_heatmap(
+        jax.random.PRNGKey(1), jnp.asarray(prob.reshape(B * T, H, W)), 1,
+        rel_threshold=0.05)).reshape(B, T, 1, 2)
+    np.testing.assert_allclose(got, expected)
+
+
+# ---------------------------------------------------------------------------
+# trajectory DataFrame ops vs utils/data_utils.py
+# ---------------------------------------------------------------------------
+
+def _synthetic_tracks(rng):
+    rows = []
+    meta = 0
+    for scene in ["sceneA", "sceneB"]:
+        for track in range(4):
+            n = int(rng.integers(30, 70))
+            start = int(rng.integers(0, 5))
+            frames = np.arange(start, start + n)
+            if track == 1:  # fragment: drop a run of frames mid-track
+                frames = np.concatenate([frames[:10], frames[16:]])
+            xs = np.cumsum(rng.normal(size=len(frames))) + 50
+            ys = np.cumsum(rng.normal(size=len(frames))) + 60
+            for f, x, y in zip(frames, xs, ys):
+                rows.append((f, track, x, y, scene, meta))
+            meta += 1
+    return pd.DataFrame(
+        rows, columns=["frame", "trackId", "x", "y", "sceneId", "metaId"])
+
+
+def _canon(df):
+    return (df[["frame", "trackId", "x", "y", "sceneId", "metaId"]]
+            .sort_values(["metaId", "frame"]).reset_index(drop=True))
+
+
+@contextlib.contextmanager
+def _legacy_groupby_apply():
+    """pandas-1 style gb.apply for the reference code: pandas 3 excludes
+    grouping columns from the frames passed to func, which breaks the
+    reference's split_fragmented / sliding_window (they read x.metaId,
+    data_utils.py:50-59,83-90). Restore the old behavior by iterating
+    groups (iteration still yields full frames)."""
+    from pandas.core.groupby.generic import DataFrameGroupBy
+
+    orig = DataFrameGroupBy.apply
+
+    def patched(self, func, *args, **kwargs):
+        return pd.concat([func(sub.copy(), *args, **kwargs)
+                          for _, sub in self])
+
+    DataFrameGroupBy.apply = patched
+    try:
+        yield
+    finally:
+        DataFrameGroupBy.apply = orig
+
+
+def test_trajectory_pipeline_vs_reference(rng):
+    """split_fragmented -> downsample -> filter_short -> sliding_window,
+    reference chain (sdd_dataset.py:44-50) vs mst_tpu.data.trajectories."""
+    df = _synthetic_tracks(rng)
+
+    # the reference writes '{metaId}_{i}' strings into the int newMetaId
+    # column (data_utils.py:88); pandas 1 upcast silently, pandas 3 raises —
+    # hand the reference an object-dtype column (values identical)
+    df_ref = df.copy()
+    df_ref["metaId"] = df_ref["metaId"].astype(object)
+    with _legacy_groupby_apply():
+        r = ref.data_utils.split_fragmented(df_ref)
+        r = ref.data_utils.downsample(r, step=3)
+        r = ref.data_utils.filter_short_trajectories(r, threshold=8)
+        r = ref.data_utils.sliding_window(r, window_size=8, stride=8)
+
+    j = jtraj.split_fragmented(df.copy())
+    j = jtraj.downsample(j, step=3)
+    j = jtraj.filter_short_trajectories(j, threshold=8)
+    j = jtraj.sliding_window(j, window_size=8, stride=8)
+
+    r, j = _canon(r), _canon(j)
+    assert len(r) == len(j)
+    pd.testing.assert_frame_equal(
+        r.drop(columns=["frame_diff"], errors="ignore"), j,
+        check_dtype=False)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_rot_augmentation_vs_reference(rng, k):
+    df = pd.DataFrame({"x": rng.uniform(0, 60, 12),
+                       "y": rng.uniform(0, 40, 12)})
+    image = rng.integers(0, 255, size=(40, 60, 3)).astype(np.uint8)
+    df_r, im_r = ref.data_utils.rot(df.copy(), image.copy(), k)
+    df_j, im_j = jimages.rot_df_image(df.copy(), image.copy(), k)
+    np.testing.assert_allclose(df_j[["x", "y"]].to_numpy(),
+                               df_r[["x", "y"]].to_numpy(), atol=1e-9)
+    np.testing.assert_array_equal(im_j, im_r)
+
+
+def test_fliplr_augmentation_vs_reference(rng):
+    df = pd.DataFrame({"x": rng.uniform(0, 60, 12),
+                       "y": rng.uniform(0, 40, 12)})
+    image = rng.integers(0, 255, size=(40, 60)).astype(np.uint8)
+    df_r, im_r = ref.data_utils.fliplr(df.copy(), image.copy())
+    df_j, im_j = jimages.fliplr_df_image(df.copy(), image.copy())
+    np.testing.assert_allclose(df_j[["x", "y"]].to_numpy(),
+                               df_r[["x", "y"]].to_numpy(), atol=1e-9)
+    np.testing.assert_array_equal(im_j, im_r)
+
+
+def test_resize_pad_vs_reference(rng):
+    im = rng.integers(0, 255, size=(83, 121, 3)).astype(np.uint8)
+    ref_images = {"s": im.copy()}
+    ref.image_utils.resize(ref_images, factor=0.4)
+    ref.image_utils.pad(ref_images, division_factor=32)
+
+    got = jimages.pad_images(
+        jimages.resize_images({"s": im.copy()}, 0.4), division_factor=32)
+    np.testing.assert_array_equal(got["s"], ref_images["s"])
+
+
+def test_swap_pavement_terrain_vs_reference(rng):
+    im = rng.uniform(size=(1, 6, 10, 12)).astype(np.float32)  # NCHW ref
+    expected = ref.image_utils.swap_pavement_terrain(
+        torch.tensor(im.copy())).numpy()
+    got = np.asarray(jimages.swap_pavement_terrain(
+        jnp.asarray(np.transpose(im, (0, 2, 3, 1)))))
+    np.testing.assert_array_equal(np.transpose(got, (0, 3, 1, 2)), expected)
+
+
+# ---------------------------------------------------------------------------
+# real reference YNet forward vs mst_tpu forward through the converter
+# ---------------------------------------------------------------------------
+
+ENC = [8, 8, 16, 16, 16]
+DEC = [16, 16, 16, 8, 8]
+OBS, PRED, NSEM, NWP = 3, 4, 3, 1
+
+VARIANTS = [
+    # (train_net, network, position, n_fusion)
+    ("train", "original", [], None),
+    ("mosa_2", "original", [0, 1, 2, 3, 4], None),
+    ("serialLayer", "original", [1, 3], None),
+    ("parallelLayer_3x3", "original", [0, 2], None),
+    ("serial", "original", [1, 2], None),
+    ("parallel_1x1_3x3", "original", [0, 1], None),
+    ("semantic_3x3", "original", [], None),
+    ("train", "embed", [], None),
+    ("mosa_2", "fusion", ["scene", "motion", "fusion"], 2),
+    ("parallelLayer_3x3", "fusion", ["scene", "fusion"], 2),
+]
+
+
+def _randomize_torch(model, seed):
+    """Keep torch's default (well-scaled) init for regular convs but
+    randomize the zero-init leaves (lora_B, adapter convs, semantic
+    adapter: ynet.py:45-51,109-115,518-519) and BN running stats so
+    parity is non-trivial — everything must flow through the converter."""
+    gen = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            if float(p.abs().sum()) == 0.0:
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+        for m in model.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=gen) * 0.1)
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=gen) + 0.5)
+
+
+@pytest.mark.parametrize("train_net,network,position,n_fusion", VARIANTS)
+def test_ynet_forward_parity_vs_reference(rng, train_net, network, position,
+                                          n_fusion):
+    # latent reference bug: the semantic-adapter build calls get_conv2d with
+    # position=None which crashes on `[str(i) for i in position]`
+    # (ynet.py:515-517, 140) — shim None -> [] just for construction
+    orig_get_conv2d = ref.ynet.get_conv2d
+    if "semantic" in train_net:
+        ref.ynet.get_conv2d = lambda train_net, l, position, **kw: \
+            orig_get_conv2d(train_net, l, position or [], **kw)
+    try:
+        tmodel = ref.ynet.YNet(
+            obs_len=OBS, pred_len=PRED, segmentation_model_fp=None,
+            n_semantic_classes=NSEM, encoder_channels=ENC,
+            decoder_channels=DEC, n_waypoints=NWP, train_net=train_net,
+            position=position, network=network, n_fusion=n_fusion).eval()
+    finally:
+        ref.ynet.get_conv2d = orig_get_conv2d
+    _randomize_torch(tmodel, seed=hash((train_net, network)) % 2**31)
+
+    flat, flat_state = convert_torch_ynet(
+        {k: v.detach() for k, v in tmodel.state_dict().items()},
+        position=position)
+
+    cfg = jynet.YNetConfig(
+        obs_len=OBS, pred_len=PRED, n_semantic_classes=NSEM,
+        encoder_channels=ENC, decoder_channels=DEC, waypoints=(2,),
+        train_net=train_net, position=position, network=network,
+        n_fusion=n_fusion)
+    params, jstate = jynet.init_ynet(jax.random.PRNGKey(0), cfg)
+    params = overlay_checkpoint(params, flat, strict=True)
+    if flat_state:
+        jstate = overlay_checkpoint(jstate, flat_state, strict=True)
+
+    B, H, W = 2, 32, 32
+    scene = rng.normal(size=(B, H, W, NSEM)).astype(np.float32)
+    motion = rng.normal(size=(B, H, W, OBS)).astype(np.float32)
+    scene_t = torch.tensor(scene).permute(0, 3, 1, 2)
+    motion_t = torch.tensor(motion).permute(0, 3, 1, 2)
+
+    with torch.no_grad():
+        scene_in_t, motion_in_t = scene_t, motion_t
+        if network == "embed":
+            scene_in_t = tmodel.scene_embedding(scene_t)
+            motion_in_t = tmodel.motion_embedding(motion_t)
+        if "semantic" in train_net:
+            scene_in_t = tmodel.adapt_semantic(scene_t)
+        tfeats = tmodel.pred_features(scene_in_t, motion_in_t)
+        tgoal = tmodel.pred_goal(tfeats)
+        wp = torch.rand(B, NWP, H, W,
+                        generator=torch.Generator().manual_seed(7))
+        wp_pyr = [wp] + [nn.AvgPool2d(2**i, 2**i)(wp)
+                         for i in range(1, len(tfeats))]
+        ttraj = tmodel.pred_traj(
+            [torch.cat([f, w], dim=1) for f, w in zip(tfeats, wp_pyr)])
+
+    scene_in, motion_in = jnp.asarray(scene), jnp.asarray(motion)
+    if network == "embed":
+        scene_in = jynet.scene_embedding(params, cfg, scene_in)
+        motion_in = jynet.motion_embedding(params, cfg, motion_in)
+    if "semantic" in train_net:
+        scene_in = jynet.adapt_semantic(params, cfg, scene_in)
+    feats, _ = jynet.pred_features(params, jstate, cfg, scene_in, motion_in)
+    goal = jynet.pred_goal(params, feats)
+    wp_j = jnp.asarray(wp.numpy().transpose(0, 2, 3, 1))
+    wp_pyr_j = avg_pool_pyramid(wp_j, n_levels=len(feats))
+    traj = jynet.pred_traj(
+        params, [jnp.concatenate([f, w], axis=-1)
+                 for f, w in zip(feats, wp_pyr_j)])
+
+    for jf, tf in zip(feats, tfeats):
+        np.testing.assert_allclose(
+            np.asarray(jf), tf.permute(0, 2, 3, 1).numpy(),
+            rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(goal), tgoal.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(traj), ttraj.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-4, atol=2e-4)
+
+
+def test_converter_covers_all_reference_keys():
+    """Every reference state-dict key must be consumed by the converter:
+    either mapped into params/state or explicitly skipped (segmentation)."""
+    tmodel = ref.ynet.YNet(
+        obs_len=OBS, pred_len=PRED, segmentation_model_fp=None,
+        n_semantic_classes=NSEM, encoder_channels=ENC, decoder_channels=DEC,
+        n_waypoints=NWP, train_net="serialLayer", position=[0, 1, 2, 3, 4],
+        network="original")
+    sd = {k: v.detach() for k, v in tmodel.state_dict().items()}
+    flat, flat_state = convert_torch_ynet(sd, position=[0, 1, 2, 3, 4])
+    n_mapped = len(flat) + len(flat_state)
+    n_src = len([k for k in sd if not k.startswith("semantic_segmentation")])
+    assert n_mapped == n_src, (n_mapped, n_src)
+
+
+def test_mosa_trainable_filter_matches_reference():
+    """The reference freezes by `'lora' in name` (trainer.py:137-139);
+    check our converted LoRA leaf paths carry the same marker so the
+    freeze partition selects exactly the reference's trainable set."""
+    tmodel = ref.ynet.YNet(
+        obs_len=OBS, pred_len=PRED, segmentation_model_fp=None,
+        n_semantic_classes=NSEM, encoder_channels=ENC, decoder_channels=DEC,
+        n_waypoints=NWP, train_net="mosa_2", position=[0, 1, 2, 3, 4],
+        network="original").eval()
+    ref_trainable = {k for k, _ in tmodel.named_parameters() if "lora" in k}
+    flat, _ = convert_torch_ynet(
+        {k: v.detach() for k, v in tmodel.state_dict().items()})
+    ours = {k for k in flat if "lora" in k}
+    assert len(ours) == len(ref_trainable)
