@@ -89,8 +89,26 @@ def get_baseline():
     return base
 
 
-def measure_jax(n_iter=20):
+# TPU v5e (lite) public peak: 197 TFLOP/s bf16 per chip; XLA runs f32
+# convs through bf16-pass decomposition at a fraction of that, so the bf16
+# peak is the honest single roofline for both dtypes.
+V5E_PEAK_BF16 = 197e12
+
+
+def _program_flops(lowerable, *args):
+    """XLA's own FLOP count for one execution of a jitted program."""
+    try:
+        ca = lowerable.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def measure_jax(n_iter=20, compute_dtype="float32"):
     import jax
+    import jax.numpy as jnp
     import optax
 
     from mst_tpu.utils.cache import enable_compilation_cache
@@ -114,6 +132,8 @@ def measure_jax(n_iter=20):
         template_size=int(4200 * 0.25), kernlen=31, nsig=4.0,
         loss_scale=1000.0, resize_factor=0.25, temperature=1.0,
         n_goal=N_GOAL, n_traj=1,
+        compute_dtype=(jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16")
+                       else jnp.float32),
         # all K at once: the shared-feature decoder removes the K*B feature
         # broadcast, so the full 160-sample decode fits HBM and runs ~31%
         # faster than 4-sample chunks
@@ -135,6 +155,16 @@ def measure_jax(n_iter=20):
     jax.block_until_ready(out["ade"])
     eval_tps = B * n_iter / (time.perf_counter() - t0)
 
+    # FLOPs of the two eval sub-programs (XLA cost analysis of the exact
+    # compiled code, so the K-hoisting/packing savings are reflected)
+    feats, wps = eval_step.forward(params, state, batch, key)
+    hom = jnp.eye(3, dtype=jnp.float32)
+    fwd_flops = _program_flops(eval_step.forward, params, state, batch, key)
+    dec_flops = _program_flops(eval_step.decode_and_score, params, feats,
+                               wps, batch["traj"], batch["mask"], hom)
+    eval_flops = ((fwd_flops + dec_flops)
+                  if fwd_flops and dec_flops else None)
+
     # ---- LoRA fine-tune step throughput
     mask = freeze_lib.trainable_mask(params, "mosa_2",
                                      ["0", "1", "2", "3", "4"])
@@ -145,14 +175,27 @@ def measure_jax(n_iter=20):
     trainable, state2, opt_state, metrics = train_step(
         trainable, frozen, state, opt_state, batch)  # compile
     jax.block_until_ready(metrics["loss"])
+    train_flops = _program_flops(train_step, trainable, frozen, state,
+                                 opt_state, batch)
     t0 = time.perf_counter()
     for _ in range(n_iter):
         trainable, state2, opt_state, metrics = train_step(
             trainable, frozen, state2, opt_state, batch)
     jax.block_until_ready(metrics["loss"])
     train_tps = B * n_iter / (time.perf_counter() - t0)
-    return {"eval_traj_per_sec": eval_tps, "train_traj_per_sec": train_tps,
-            "device": str(jax.devices()[0])}
+
+    res = {"eval_traj_per_sec": eval_tps, "train_traj_per_sec": train_tps,
+           "compute_dtype": compute_dtype,
+           "device": str(jax.devices()[0])}
+    if eval_flops:
+        eval_fps = eval_flops * eval_tps / B  # flops/batch * batches/sec
+        res["eval_tflops_per_sec"] = eval_fps / 1e12
+        res["eval_pct_peak_bf16"] = 100.0 * eval_fps / V5E_PEAK_BF16
+    if train_flops:
+        train_fps = train_flops * train_tps / B
+        res["train_tflops_per_sec"] = train_fps / 1e12
+        res["train_pct_peak_bf16"] = 100.0 * train_fps / V5E_PEAK_BF16
+    return res
 
 
 def _log(msg):
@@ -163,18 +206,32 @@ def _log(msg):
 
 def main():
     t0 = time.perf_counter()
-    ours = measure_jax()
-    _log(f"jax measured in {time.perf_counter() - t0:.1f}s: {ours}")
+    f32 = measure_jax()
+    _log(f"jax f32 measured in {time.perf_counter() - t0:.1f}s: {f32}")
+    t0 = time.perf_counter()
+    bf16 = measure_jax(compute_dtype="bfloat16")
+    _log(f"jax bf16 measured in {time.perf_counter() - t0:.1f}s: {bf16}")
     t0 = time.perf_counter()
     base = get_baseline()
     _log(f"baseline ready in {time.perf_counter() - t0:.1f}s: {base}")
+    # headline: the faster dtype (bf16 parity is pinned by tests/test_bf16.py)
+    ours = bf16 if (bf16["eval_traj_per_sec"]
+                    > f32["eval_traj_per_sec"]) else f32
     vs = ours["eval_traj_per_sec"] / base["eval_traj_per_sec"]
-    print(json.dumps({
+    line = {
         "metric": "eval_traj_per_sec",
         "value": round(ours["eval_traj_per_sec"], 3),
-        "unit": "trajectories/sec (K=20 multi-goal eval, SDD-scale)",
+        "unit": "trajectories/sec (K=20 multi-goal eval, SDD-scale, "
+                f"{ours['compute_dtype']})",
         "vs_baseline": round(vs, 3),
-    }))
+        "train_traj_per_sec": round(ours["train_traj_per_sec"], 3),
+        "eval_traj_per_sec_f32": round(f32["eval_traj_per_sec"], 3),
+    }
+    for k in ("eval_tflops_per_sec", "eval_pct_peak_bf16",
+              "train_tflops_per_sec", "train_pct_peak_bf16"):
+        if k in ours:
+            line[k] = round(ours[k], 3)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

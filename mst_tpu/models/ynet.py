@@ -357,77 +357,104 @@ def _encoder_apply(params, state, cfg: YNetConfig, x, train,
 # --- fusion encoder (Y-Net-Mod, ynet.py:286-395) ---------------------------
 
 def _fusion_branch_init(key, cfg, branch, in_ch, chans, n_sep):
-    """scene/motion branch: first conv stage + n_sep pooled stages."""
-    stages = {}
-    p, _ = _conv_unit_init(jax.random.fold_in(key, 0), cfg_branch(cfg, branch),
+    """scene/motion branch: first conv stage + n_sep pooled stages.
+
+    Conv kind is keyed on the branch name (the reference passes
+    l='scene'|'motion'|'fusion' to get_conv2d, ynet.py:306-363), so
+    serialLayer adapters in a selected branch carry BN state — returned
+    alongside params like the plain encoder."""
+    stages, state = {}, {}
+    p, s = _conv_unit_init(jax.random.fold_in(key, 0), cfg,
                            branch, in_ch, chans[0] // 2)
     stages["0"] = {"conv0": p}
+    if s:
+        state["0"] = {"conv0": s}
     for i in range(n_sep):
         ki = jax.random.fold_in(key, i + 1)
-        p0, _ = _conv_unit_init(jax.random.fold_in(ki, 0),
-                                cfg_branch(cfg, branch), branch,
-                                chans[i] // 2, chans[i + 1] // 2)
-        p1, _ = _conv_unit_init(jax.random.fold_in(ki, 1),
-                                cfg_branch(cfg, branch), branch,
-                                chans[i + 1] // 2, chans[i + 1] // 2)
+        p0, s0 = _conv_unit_init(jax.random.fold_in(ki, 0), cfg, branch,
+                                 chans[i] // 2, chans[i + 1] // 2)
+        p1, s1 = _conv_unit_init(jax.random.fold_in(ki, 1), cfg, branch,
+                                 chans[i + 1] // 2, chans[i + 1] // 2)
         stages[str(i + 1)] = {"conv0": p0, "conv1": p1}
-    return stages
-
-
-def cfg_branch(cfg: YNetConfig, branch):
-    """Fusion branches never host block adapters; conv kind keyed on branch
-    name (reference passes l='scene'|'motion'|'fusion', ynet.py:306-363)."""
-    return cfg
+        st = {}
+        if s0:
+            st["conv0"] = s0
+        if s1:
+            st["conv1"] = s1
+        if st:
+            state[str(i + 1)] = st
+    return stages, state
 
 
 def _fusion_encoder_init(key, cfg: YNetConfig):
     chans = cfg.encoder_channels
     n_sep = len(chans) - cfg.n_fusion - 1
-    scene = _fusion_branch_init(jax.random.fold_in(key, 1), cfg, "scene",
-                                cfg.n_semantic_classes, chans, n_sep)
-    motion = _fusion_branch_init(jax.random.fold_in(key, 2), cfg, "motion",
-                                 cfg.obs_len, chans, n_sep)
-    fusion = {}
+    state = {}
+    scene, scene_st = _fusion_branch_init(
+        jax.random.fold_in(key, 1), cfg, "scene",
+        cfg.n_semantic_classes, chans, n_sep)
+    motion, motion_st = _fusion_branch_init(
+        jax.random.fold_in(key, 2), cfg, "motion", cfg.obs_len, chans, n_sep)
+    fusion, fusion_st = {}, {}
     for j, i in enumerate(range(n_sep, len(chans) - 1)):
         ki = jax.random.fold_in(jax.random.fold_in(key, 3), j)
-        p0, _ = _conv_unit_init(jax.random.fold_in(ki, 0), cfg, "fusion",
-                                chans[i], chans[i + 1])
-        p1, _ = _conv_unit_init(jax.random.fold_in(ki, 1), cfg, "fusion",
-                                chans[i + 1], chans[i + 1])
+        p0, s0 = _conv_unit_init(jax.random.fold_in(ki, 0), cfg, "fusion",
+                                 chans[i], chans[i + 1])
+        p1, s1 = _conv_unit_init(jax.random.fold_in(ki, 1), cfg, "fusion",
+                                 chans[i + 1], chans[i + 1])
         fusion[str(j)] = {"conv0": p0, "conv1": p1}
+        st = {}
+        if s0:
+            st["conv0"] = s0
+        if s1:
+            st["conv1"] = s1
+        if st:
+            fusion_st[str(j)] = st
+    if scene_st:
+        state["scene_stages"] = scene_st
+    if motion_st:
+        state["motion_stages"] = motion_st
+    if fusion_st:
+        state["fusion_stages"] = fusion_st
     return {"scene_stages": scene, "motion_stages": motion,
-            "fusion_stages": fusion}, {}
+            "fusion_stages": fusion}, state
 
 
 def _fusion_encoder_apply(params, state, cfg: YNetConfig, scene_map,
                           motion_map, train):
-    """YNetEncoderFusion.forward (ynet.py:369-395)."""
-    del state  # fusion branches carry no BN state
+    """YNetEncoderFusion.forward (ynet.py:369-395). Returns
+    (features, new_state); state is non-empty only for serialLayer
+    adapters (BN running stats) in a selected branch."""
+    state = state or {}
+    new_state = {}
 
-    def run_branch(stages, branch, x):
+    def run_branch(group, branch, x):
+        stages = params[group]
+        gstate = state.get(group, {})
+        gnew = {}
         outs = []
-        n = len(stages)
-        for i in range(n):
-            y, _ = _stage_apply(stages[str(i)], {}, cfg, branch, x, train,
-                                first_stage=(i == 0))
+        for i in range(len(stages)):
+            y, s = _stage_apply(stages[str(i)], gstate.get(str(i), {}),
+                                cfg, branch, x, train,
+                                first_stage=(i == 0 and
+                                             group != "fusion_stages"))
+            if s:
+                gnew[str(i)] = s
             outs.append(y)
             x = y
+        if gnew:
+            new_state[group] = gnew
         return outs
 
-    scene_feats = run_branch(params["scene_stages"], "scene", scene_map)
-    motion_feats = run_branch(params["motion_stages"], "motion", motion_map)
+    scene_feats = run_branch("scene_stages", "scene", scene_map)
+    motion_feats = run_branch("motion_stages", "motion", motion_map)
     features = [jnp.concatenate([s, m], axis=-1)
                 for s, m in zip(scene_feats, motion_feats)]
 
-    x = features[-1]
-    n_fused = len(params["fusion_stages"])
-    for i in range(n_fused):
-        y, _ = _stage_apply(params["fusion_stages"][str(i)], {}, cfg,
-                            "fusion", x, train, first_stage=False)
-        features.append(y)
-        x = y
-    features.append(max_pool_2x2(x))
-    return features, {}
+    fused = run_branch("fusion_stages", "fusion", features[-1])
+    features.extend(fused)
+    features.append(max_pool_2x2(fused[-1] if fused else features[-1]))
+    return features, new_state
 
 
 # ---------------------------------------------------------------------------

@@ -112,14 +112,18 @@ def packed_upsample_2x(x, kernel):
     Equals space_to_depth(upsample_bilinear_2x(x)).
     """
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    # kernel builders work in f32 (tap-selector einsums); cast to the
+    # activation dtype so bf16 compute is not silently promoted back
     return jax.lax.conv_general_dilated(
-        xp, jnp.asarray(kernel), (1, 1), "VALID", dimension_numbers=_DIMNUMS)
+        xp, jnp.asarray(kernel, x.dtype), (1, 1), "VALID",
+        dimension_numbers=_DIMNUMS)
 
 
 def packed_conv(x, kernel, bias=None):
     """SAME conv in packed space."""
     y = jax.lax.conv_general_dilated(
-        x, kernel, (1, 1), "SAME", dimension_numbers=_DIMNUMS)
+        x, jnp.asarray(kernel, x.dtype), (1, 1), "SAME",
+        dimension_numbers=_DIMNUMS)
     if bias is not None:
-        y = y + bias
+        y = y + jnp.asarray(bias, y.dtype)
     return y

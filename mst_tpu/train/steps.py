@@ -69,14 +69,37 @@ class StepConfig(NamedTuple):
     # math to fp tolerance
 
 
+def _cast_floats(tree, dtype):
+    """Cast every floating leaf of a pytree (mixed-precision compute copy;
+    master weights stay f32 in the optimizer)."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) \
+                and x.dtype != dtype:
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(cast, tree)
+
+
+def _compute_params(params, scfg):
+    """Params in compute dtype (bf16 on TPU doubles the MXU rate; casts are
+    fused into the convs by XLA). f32 is the identity."""
+    if scfg.compute_dtype == jnp.float32:
+        return params
+    return _cast_floats(params, scfg.compute_dtype)
+
+
 def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None):
     """semantic (B or 1, H, W, C) + traj (B, T, 2) -> model inputs.
 
     When scfg.segment_in_step, `semantic` is the raw preprocessed image and
     the backbone runs here (differentiably, for segmentation_* strategies).
+    `params` must already be in compute dtype; outputs are compute dtype
+    (JAX promotion would silently upcast bf16 x f32 -> f32, so inputs are
+    cast explicitly before touching any weights).
     """
     B = traj.shape[0]
     H, W = semantic.shape[-3], semantic.shape[-2]
+    semantic = semantic.astype(scfg.compute_dtype)
     if scfg.segment_in_step and "segmentation" in params:
         from mst_tpu.models import segmentation as seg_lib
 
@@ -91,7 +114,8 @@ def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None):
                                     (B,) + semantic.shape[1:])
     obs = traj[:, :scfg.obs_len]
     observed_map = rasterize_dist_nhwc(
-        obs, H, W, scfg.template_size)  # (B,H,W,obs)
+        obs, H, W, scfg.template_size).astype(
+            scfg.compute_dtype)  # (B,H,W,obs)
     if mcfg.network == "embed":
         semantic = ynet_lib.scene_embedding(params, mcfg, semantic)
         observed_map = ynet_lib.motion_embedding(params, mcfg, observed_map)
@@ -117,7 +141,7 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
     pack0 = bool(scfg.packed_decode) and ynet_lib.can_pack_stage0(mcfg)
 
     def loss_fn(trainable, frozen, state, batch):
-        params = merge_params(trainable, frozen)
+        params = _compute_params(merge_params(trainable, frozen), scfg)
         traj = batch["traj"]
         mask = batch["mask"]
         H, W = batch["semantic"].shape[-3], batch["semantic"].shape[-2]
@@ -135,18 +159,20 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
         features, new_state = ynet_lib.pred_features(
             params, state, mcfg, semantic, observed_map, train=True,
             packed_stage0=pack0)
-        pred_goal_map = ynet_lib.pred_goal(params, features,
-                                           scfg.packed_decode, pack0)
+        # logits back to f32: BCE/softargmax stay full precision
+        pred_goal_map = ynet_lib.pred_goal(
+            params, features, scfg.packed_decode, pack0).astype(jnp.float32)
         goal_loss = bce_with_logits(pred_goal_map, gt_future_map,
                                     mask) * scfg.loss_scale
 
-        wp_pyramid = avg_pool_pyramid(gt_waypoint_map, len(features))
+        wp_pyramid = avg_pool_pyramid(
+            gt_waypoint_map.astype(scfg.compute_dtype), len(features))
         # trajectory decode in the split (shared) form — identical function
         # to conv-over-concat (tested), and it accepts packed features[0]
         decode = ynet_lib.make_shared_pred_traj(
             params, features, len(scfg.waypoints),
             packed_finest=scfg.packed_decode, features0_packed=pack0)
-        pred_traj_map = decode(wp_pyramid)
+        pred_traj_map = decode(wp_pyramid).astype(jnp.float32)
         traj_loss = bce_with_logits(pred_traj_map, gt_future_map,
                                     mask) * scfg.loss_scale
         loss = goal_loss + traj_loss
@@ -220,6 +246,7 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
 
     @jax.jit
     def forward(params, state, batch, key):
+        params = _compute_params(params, scfg)
         traj = batch["traj"]
         H, W = batch["semantic"].shape[-3], batch["semantic"].shape[-2]
         semantic, observed_map = _prepare_inputs(
@@ -227,8 +254,10 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
         features, _ = ynet_lib.pred_features(
             params, state, mcfg, semantic, observed_map, train=False,
             packed_stage0=pack0)
+        # goal logits in f32: sampling/sigmoid/TTST/CWS stay full precision
         pred_goal_map = ynet_lib.pred_goal(
-            params, features, scfg.packed_decode, pack0)  # (B,H,W,pred)
+            params, features, scfg.packed_decode,
+            pack0).astype(jnp.float32)  # (B,H,W,pred)
         pred_waypoint_map = pred_goal_map[..., waypoints]  # (B,H,W,n_wp)
         pred_wp_sigmoid = jax.nn.sigmoid(pred_waypoint_map / scfg.temperature)
 
@@ -270,6 +299,7 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
             H, W = features[1].shape[-3] * 2, features[1].shape[-2] * 2
         else:
             H, W = features[0].shape[-3], features[0].shape[-2]
+        params = _compute_params(params, scfg)
         decode = ynet_lib.make_shared_pred_traj(
             params, features, n_wp, packed_finest=scfg.packed_decode,
             features0_packed=pack0)
@@ -279,15 +309,21 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
             Kc, B = waypoint_chunk.shape[0], waypoint_chunk.shape[1]
             flat = waypoint_chunk.reshape(Kc * B, n_wp, 2)
             wmap = rasterize_dist_nhwc(flat, H, W, scfg.template_size)
-            pyr = avg_pool_pyramid(wmap, len(features))
+            pyr = avg_pool_pyramid(wmap.astype(scfg.compute_dtype),
+                                   len(features))
             pred_map = decode(pyr)  # (Kc*B,H,W,pred)
-            pts = softargmax2d_auto(jnp.moveaxis(pred_map, -1, 1))
+            # softargmax in f32 (exp-normalized expectation is precision-
+            # sensitive; the cast is fused into the preceding conv)
+            pts = softargmax2d_auto(
+                jnp.moveaxis(pred_map, -1, 1).astype(jnp.float32))
             return pts.reshape(Kc, B, scfg.pred_len, 2)
 
         Ktot, B = waypoint_samples.shape[0], waypoint_samples.shape[1]
         kc = scfg.eval_k_chunk or Ktot
         if Ktot % kc != 0:
-            kc = Ktot
+            raise ValueError(
+                f"eval_k_chunk={kc} must divide K={Ktot} "
+                f"(n_goal*n_traj); pick a divisor or 0 for all-at-once")
         if kc == Ktot:
             trajs_samples = decode_chunk(waypoint_samples)
         else:
@@ -344,6 +380,10 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
         return decode_and_score(params, features, waypoint_samples,
                                 batch["traj"], batch["mask"], hom)
 
+    # the two compiled sub-programs, exposed for FLOP accounting (bench.py
+    # lowers them through XLA cost analysis)
+    eval_step.forward = forward
+    eval_step.decode_and_score = decode_and_score
     return eval_step
 
 

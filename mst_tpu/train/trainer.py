@@ -35,6 +35,20 @@ _IMAGE_FILES = {"sdd": "reference.jpg", "ind-dataset-v1.0": "reference.png",
                 "eth": "oracle.png"}
 
 
+def _parse_compute_dtype(name):
+    """--compute_dtype string -> jnp dtype. bf16 runs the conv path at the
+    TPU MXU's 2x rate with f32 master weights/loss (train/steps.py)."""
+    import jax.numpy as jnp
+
+    table = {"float32": jnp.float32, "f32": jnp.float32,
+             "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+    try:
+        return table[str(name).lower()]
+    except KeyError:
+        raise ValueError(
+            f"compute_dtype={name!r}: expected one of {sorted(table)}")
+
+
 class Experiment:
     """sklearn-style train/test façade over the functional core."""
 
@@ -63,8 +77,7 @@ class Experiment:
 
     def save_params(self, path, train_net=None, mask=None):
         train_net = train_net or self.params.get("train_net", "train")
-        if train_net in ("all", "train") or mask is None and train_net in (
-                "all", "train"):
+        if train_net in ("all", "train"):
             ckpt_lib.save_checkpoint(path, self.model_params,
                                      metadata=self._ckpt_metadata())
         else:
@@ -190,6 +203,8 @@ class Experiment:
             segment_in_step=segment_in_step,
             use_features_only=bool(p.get("use_features_only", False)),
             world_coords=(p["dataset_name"].lower() == "eth"),
+            compute_dtype=_parse_compute_dtype(
+                p.get("compute_dtype", "float32")),
         )
 
     def _device_batch(self, batch, semantic):

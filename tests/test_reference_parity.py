@@ -290,6 +290,7 @@ VARIANTS = [
     ("train", "embed", [], None),
     ("mosa_2", "fusion", ["scene", "motion", "fusion"], 2),
     ("parallelLayer_3x3", "fusion", ["scene", "fusion"], 2),
+    ("serialLayer", "fusion", ["motion", "fusion"], 2),
 ]
 
 
