@@ -64,6 +64,10 @@ def get_parser(is_train: bool) -> argparse.ArgumentParser:
     if is_train:
         # train args (parser.py:53-69)
         parser.add_argument("--fine_tune", action="store_true")
+        parser.add_argument("--resume", action="store_true",
+                            help="resume from <ckpt_path>/<experiment>"
+                                 "__train_state.npz (optimizer state, epoch,"
+                                 " val history, best-ckpt tracking)")
         parser.add_argument("--n_epoch", default=100, type=int)
         parser.add_argument("--n_early_stop", default=300, type=int)
         parser.add_argument("--n_train_batch", default=None, type=float)

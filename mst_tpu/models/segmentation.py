@@ -27,13 +27,17 @@ def load_params(path):
     return unflatten_dict(load_checkpoint(path))
 
 
-def apply(params, image, use_features_only=False):
+def apply(params, image, use_features_only=False, bn_state=None,
+          train=False):
     """(B, H, W, 3) preprocessed image -> (B, H, W, n_classes) logits.
 
-    Identity when params is None (reference ynet.py:507).
+    Identity when params is None (reference ynet.py:507). bn_state/train
+    drive the e_unfreeze BN-adaptation mode (see unet.unet_apply); with
+    train=True returns (out, bn_updates).
     """
     if params is None:
-        return image
+        return (image, {}) if train else image
     from mst_tpu.models.unet import unet_apply
 
-    return unet_apply(params, image, use_features_only=use_features_only)
+    return unet_apply(params, image, use_features_only=use_features_only,
+                      bn_state=bn_state, train=train)

@@ -46,6 +46,52 @@ def _bn(params, x, eps=1e-5):
             + params["bias"])
 
 
+def _get_path(tree, path):
+    """Navigate a nested dict by '/'-joined path; None when absent."""
+    node = tree
+    for part in path.split("/"):
+        if not isinstance(node, dict) or part not in node:
+            return None
+        node = node[part]
+    return node
+
+
+def _make_bn(bn_state, train, eps=1e-5, momentum=0.1):
+    """BN evaluator with optional external running stats and train mode.
+
+    Returns (bn_fn, updates): bn_fn(path, params, x) normalizes x; stats are
+    read from bn_state[path] when present (adapted stats after e_unfreeze),
+    else from the inline params. In train mode (the reference's model.train()
+    past e_unfreeze, train_epoch.py:27-48) batch statistics normalize and
+    torch-style running-stat updates (momentum 0.1, unbiased var) land in
+    `updates` keyed by path.
+    """
+    updates = {}
+
+    def bn(path, params, x):
+        src = _get_path(bn_state, path) if bn_state else None
+        stats = src if src is not None else params
+        if not train:
+            inv = jax.lax.rsqrt(stats["running_var"] + eps)
+            return ((x - stats["running_mean"]) * inv * params["weight"]
+                    + params["bias"])
+        mean = x.mean(axis=(0, 1, 2))
+        var = x.var(axis=(0, 1, 2))
+        inv = jax.lax.rsqrt(var + eps)
+        y = (x - mean) * inv * params["weight"] + params["bias"]
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        updates[path] = {
+            "running_mean": ((1 - momentum) * stats["running_mean"]
+                             + momentum * mean),
+            "running_var": ((1 - momentum) * stats["running_var"]
+                            + momentum * unbiased),
+        }
+        return y
+
+    return bn, updates
+
+
 def _conv_init(key, cin, cout, k, bias=False):
     fan_in = cin * k * k
     bound = math.sqrt(2.0 / fan_in)  # kaiming normal-ish scale
@@ -93,14 +139,17 @@ def _bottleneck_init(key, cin, width, cout, stride):
     return p
 
 
-def _bottleneck_apply(p, x, stride):
+def _bottleneck_apply(p, x, stride, bn=None, path=""):
+    if bn is None:
+        bn = lambda _, params, v: _bn(params, v)  # noqa: E731
     identity = x
-    y = jax.nn.relu(_bn(p["bn1"], _conv(p["conv1"], x)))
-    y = jax.nn.relu(_bn(p["bn2"], _conv(p["conv2"], y, stride=stride)))
-    y = _bn(p["bn3"], _conv(p["conv3"], y))
+    y = jax.nn.relu(bn(f"{path}/bn1", p["bn1"], _conv(p["conv1"], x)))
+    y = jax.nn.relu(bn(f"{path}/bn2", p["bn2"],
+                       _conv(p["conv2"], y, stride=stride)))
+    y = bn(f"{path}/bn3", p["bn3"], _conv(p["conv3"], y))
     if "downsample" in p:
-        identity = _bn(p["downsample"]["1"],
-                       _conv(p["downsample"]["0"], x, stride=stride))
+        identity = bn(f"{path}/downsample/1", p["downsample"]["1"],
+                      _conv(p["downsample"]["0"], x, stride=stride))
     return jax.nn.relu(y + identity)
 
 
@@ -123,24 +172,27 @@ def _resnet_encoder_init(key, layers=RESNET101_LAYERS):
     return params
 
 
-def _resnet_encoder_apply(params, x, layers=None):
+def _resnet_encoder_apply(params, x, layers=None, bn=None):
     """Returns smp-style feature list: [x, stem, layer1..layer4]. The
     per-stage block counts are inferred from the params when not given."""
     if layers is None:
         layers = tuple(len(params[f"layer{li}"]) for li in range(1, 5))
+    if bn is None:
+        bn = lambda _, p, v: _bn(p, v)  # noqa: E731
     feats = [x]
     # stem: 7x7/2 conv, bn, relu
     y = jax.lax.conv_general_dilated(
         x, params["conv1"]["weight"], (2, 2), [(3, 3), (3, 3)],
         dimension_numbers=_DIMNUMS)
-    y = jax.nn.relu(_bn(params["bn1"], y))
+    y = jax.nn.relu(bn("encoder/bn1", params["bn1"], y))
     feats.append(y)
     y = _maxpool_3x3_s2(y)
     for li, n in enumerate(layers, start=1):
         blocks = params[f"layer{li}"]
         for b in range(n):
             stride = 2 if (li > 1 and b == 0) else 1
-            y = _bottleneck_apply(blocks[str(b)], y, stride)
+            y = _bottleneck_apply(blocks[str(b)], y, stride, bn,
+                                  f"encoder/layer{li}/{b}")
         feats.append(y)
     return feats
 
@@ -158,12 +210,16 @@ def _decoder_block_init(key, cin, cskip, cout):
     }
 
 
-def _decoder_block_apply(p, x, skip):
+def _decoder_block_apply(p, x, skip, bn=None, path=""):
+    if bn is None:
+        bn = lambda _, params, v: _bn(params, v)  # noqa: E731
     x = _upsample_nearest_2x(x)
     if skip is not None:
         x = jnp.concatenate([x, skip], axis=-1)
-    x = jax.nn.relu(_bn(p["conv1"]["1"], _conv(p["conv1"]["0"], x)))
-    x = jax.nn.relu(_bn(p["conv2"]["1"], _conv(p["conv2"]["0"], x)))
+    x = jax.nn.relu(bn(f"{path}/conv1/1", p["conv1"]["1"],
+                       _conv(p["conv1"]["0"], x)))
+    x = jax.nn.relu(bn(f"{path}/conv2/1", p["conv2"]["1"],
+                       _conv(p["conv2"]["0"], x)))
     return x
 
 
@@ -180,7 +236,7 @@ def _unet_decoder_init(key, encoder_channels, decoder_channels):
     return {"blocks": blocks}
 
 
-def _unet_decoder_apply(params, feats, decoder_channels=None):
+def _unet_decoder_apply(params, feats, decoder_channels=None, bn=None):
     n_blocks = (len(params["blocks"]) if decoder_channels is None
                 else len(decoder_channels))
     feats = feats[::-1]
@@ -188,7 +244,8 @@ def _unet_decoder_apply(params, feats, decoder_channels=None):
     skips = feats[1:]
     for i in range(n_blocks):
         skip = skips[i] if i < len(skips) - 1 else None
-        x = _decoder_block_apply(params["blocks"][str(i)], x, skip)
+        x = _decoder_block_apply(params["blocks"][str(i)], x, skip, bn,
+                                 f"decoder/blocks/{i}")
     return x
 
 
@@ -215,20 +272,58 @@ def unet_init(key, n_classes=6, layers=RESNET101_LAYERS,
 
 
 def unet_apply(params, image, use_features_only=False, layers=None,
-               decoder_channels=None):
+               decoder_channels=None, bn_state=None, train=False):
     """(B, H, W, 3) -> (B, H, W, n_classes) class map (or (.., 16) features
     when use_features_only — reference ynet.py:503-505 replaces the head with
-    Identity). Depth is inferred from params unless given."""
-    feats = _resnet_encoder_apply(params["encoder"], image, layers)
-    x = _unet_decoder_apply(params["decoder"], feats, decoder_channels)
+    Identity). Depth is inferred from params unless given.
+
+    bn_state: optional nested {path: {running_mean, running_var}} overriding
+    the inline BN stats (the adapted stats once e_unfreeze passes).
+    train=True runs BN on batch statistics and returns (out, bn_updates)
+    — the reference's model.train() backbone mode (train_epoch.py:27-48);
+    its params never receive gradients (trainer.py:113-114), only the BN
+    buffers adapt."""
+    bn, updates = _make_bn(bn_state, train)
+    feats = _resnet_encoder_apply(params["encoder"], image, layers, bn)
+    x = _unet_decoder_apply(params["decoder"], feats, decoder_channels, bn)
     if use_features_only:
-        return x
-    x = _conv(params["segmentation_head"]["0"], x)
-    act = params.get("_meta", {}).get("activation")
-    if act is not None:
-        # `act` may be traced (it rides in the params pytree); branch on
-        # device so the head activation stays checkpoint-defined.
-        x = jax.lax.cond(jnp.asarray(act) == 1,
-                         lambda v: jax.nn.softmax(v, axis=-1),
-                         lambda v: v, x)
-    return x
+        out = x
+    else:
+        x = _conv(params["segmentation_head"]["0"], x)
+        act = params.get("_meta", {}).get("activation")
+        if act is not None:
+            # `act` may be traced (it rides in the params pytree); branch on
+            # device so the head activation stays checkpoint-defined.
+            x = jax.lax.cond(jnp.asarray(act) == 1,
+                             lambda v: jax.nn.softmax(v, axis=-1),
+                             lambda v: v, x)
+        out = x
+    if train:
+        from mst_tpu.train.checkpoints import unflatten_dict
+
+        nested = unflatten_dict({f"{k}/{leaf}": v
+                                 for k, d in updates.items()
+                                 for leaf, v in d.items()})
+        return out, nested
+    return out
+
+
+def extract_bn_stats(params):
+    """Nested {path: {running_mean, running_var}} of every BN in the
+    backbone params — the seed for the e_unfreeze adapted-stats state."""
+    out = {}
+
+    def visit(node, path):
+        if isinstance(node, dict):
+            if "running_mean" in node and "running_var" in node:
+                out[path] = {"running_mean": np.asarray(node["running_mean"]),
+                             "running_var": np.asarray(node["running_var"])}
+                return
+            for k, v in node.items():
+                visit(v, f"{path}/{k}" if path else k)
+
+    visit(params, "")
+    from mst_tpu.train.checkpoints import unflatten_dict
+
+    return unflatten_dict({f"{k}/{leaf}": v for k, d in out.items()
+                           for leaf, v in d.items()})

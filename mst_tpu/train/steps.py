@@ -59,6 +59,10 @@ class StepConfig(NamedTuple):
     # step (needed when tuning 'segmentation_*' params or past e_unfreeze;
     # otherwise the backbone output is cached per scene, the reference's
     # train_epoch.py:34-38 trick)
+    segment_train_mode: bool = False  # e_unfreeze passed: backbone BN runs
+    # on batch statistics and its running stats adapt, carried in
+    # state['segmentation_bn'] (reference model.train(),
+    # train_epoch.py:27-48; params stay frozen per trainer.py:113-114)
     use_features_only: bool = False
     world_coords: bool = False  # ETH/UCY: homography px->world before
     # metrics (reference evaluate.py:271-274, image_utils.py:138-162);
@@ -88,23 +92,33 @@ def _compute_params(params, scfg):
     return _cast_floats(params, scfg.compute_dtype)
 
 
-def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None):
-    """semantic (B or 1, H, W, C) + traj (B, T, 2) -> model inputs.
+def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None,
+                    seg_bn_state=None):
+    """semantic (B or 1, H, W, C) + traj (B, T, 2) -> model inputs (plus a
+    dict of backbone BN-stat updates, non-empty only in segment_train_mode).
 
     When scfg.segment_in_step, `semantic` is the raw preprocessed image and
-    the backbone runs here (differentiably, for segmentation_* strategies).
-    `params` must already be in compute dtype; outputs are compute dtype
-    (JAX promotion would silently upcast bf16 x f32 -> f32, so inputs are
-    cast explicitly before touching any weights).
+    the backbone runs here (differentiably, for segmentation_* strategies;
+    with batch-stats BN past e_unfreeze). `params` must already be in
+    compute dtype; outputs are compute dtype (JAX promotion would silently
+    upcast bf16 x f32 -> f32, so inputs are cast explicitly before touching
+    any weights).
     """
     B = traj.shape[0]
     H, W = semantic.shape[-3], semantic.shape[-2]
     semantic = semantic.astype(scfg.compute_dtype)
+    seg_updates = {}
     if scfg.segment_in_step and "segmentation" in params:
         from mst_tpu.models import segmentation as seg_lib
 
-        semantic = seg_lib.apply(params["segmentation"], semantic,
-                                 scfg.use_features_only)
+        if scfg.segment_train_mode and train:
+            semantic, seg_updates = seg_lib.apply(
+                params["segmentation"], semantic, scfg.use_features_only,
+                bn_state=seg_bn_state, train=True)
+        else:
+            semantic = seg_lib.apply(params["segmentation"], semantic,
+                                     scfg.use_features_only,
+                                     bn_state=seg_bn_state)
     semantic = ynet_lib.adapt_semantic(params, mcfg, semantic)
     if scfg.swap_semantic:
         from mst_tpu.data.images import swap_pavement_terrain
@@ -119,7 +133,7 @@ def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None):
     if mcfg.network == "embed":
         semantic = ynet_lib.scene_embedding(params, mcfg, semantic)
         observed_map = ynet_lib.motion_embedding(params, mcfg, observed_map)
-    return semantic, observed_map
+    return semantic, observed_map, seg_updates
 
 
 def _masked_mean(x, mask):
@@ -146,8 +160,10 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
         mask = batch["mask"]
         H, W = batch["semantic"].shape[-3], batch["semantic"].shape[-2]
 
-        semantic, observed_map = _prepare_inputs(
-            mcfg, scfg, params, batch["semantic"], traj, train=True)
+        semantic, observed_map, seg_updates = _prepare_inputs(
+            mcfg, scfg, params, batch["semantic"], traj, train=True,
+            seg_bn_state=state.get("segmentation_bn")
+            if isinstance(state, dict) else None)
 
         gt_future = traj[:, scfg.obs_len:]
         gt_future_map = rasterize_gaussian_nhwc(
@@ -159,6 +175,9 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
         features, new_state = ynet_lib.pred_features(
             params, state, mcfg, semantic, observed_map, train=True,
             packed_stage0=pack0)
+        if seg_updates:
+            new_state = {**(new_state or {}),
+                         "segmentation_bn": seg_updates}
         # logits back to f32: BCE/softargmax stay full precision
         pred_goal_map = ynet_lib.pred_goal(
             params, features, scfg.packed_decode, pack0).astype(jnp.float32)
@@ -249,8 +268,10 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
         params = _compute_params(params, scfg)
         traj = batch["traj"]
         H, W = batch["semantic"].shape[-3], batch["semantic"].shape[-2]
-        semantic, observed_map = _prepare_inputs(
-            mcfg, scfg, params, batch["semantic"], traj, train=False)
+        semantic, observed_map, _ = _prepare_inputs(
+            mcfg, scfg, params, batch["semantic"], traj, train=False,
+            seg_bn_state=state.get("segmentation_bn")
+            if isinstance(state, dict) else None)
         features, _ = ynet_lib.pred_features(
             params, state, mcfg, semantic, observed_map, train=False,
             packed_stage0=pack0)

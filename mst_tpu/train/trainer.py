@@ -139,13 +139,26 @@ class Experiment:
             shuffle=(mode == "train"), rng=rng)
 
     def _segment_in_step(self):
-        """Run the backbone inside the train step: required when its
-        params are trainable ('segmentation_*' strategies,
-        trainer.py:182-190) or once e_unfreeze passes (trainer.py:49-51)."""
+        """Run the backbone inside the train step from epoch 0: required
+        when its params are trainable ('segmentation_*' strategies,
+        trainer.py:182-190). The e_unfreeze boundary instead switches steps
+        mid-training (see train()) so the pre-boundary epochs keep the
+        cached-backbone fast path (reference train_epoch.py:34-38)."""
         p = self.params
-        return "segmentation" in self.model_params and (
+        return "segmentation" in self.model_params and \
             str(p.get("train_net", "")).startswith("segmentation")
-            or int(p.get("e_unfreeze", 10000)) < int(p.get("n_epoch", 0)))
+
+    def _e_unfreeze(self):
+        """Epoch index at which the backbone starts running in-step with
+        batch-stats BN (reference model.train() semantics,
+        train_epoch.py:27-48; backbone params stay frozen,
+        trainer.py:113-114). 10000 in every shipped config = disabled."""
+        p = self.params
+        e = int(p.get("e_unfreeze", 10000))
+        if "segmentation" not in self.model_params or \
+                e >= int(p.get("n_epoch", 0)):
+            return None
+        return e
 
     def _homography_for(self, scene_id):
         """ETH/UCY homography (reference trainer.py:550-557), cached; the
@@ -175,14 +188,19 @@ class Experiment:
         if batch.scene_id not in cache:
             img = batch.image[None]  # (1,H,W,C)
             if "segmentation" in self.model_params:
-                sem = seg_lib.apply(self.model_params["segmentation"], img,
-                                    self.mcfg.use_features_only)
+                # adapted BN stats (post-e_unfreeze) override inline stats
+                sem = seg_lib.apply(
+                    self.model_params["segmentation"], img,
+                    self.mcfg.use_features_only,
+                    bn_state=self.model_state.get("segmentation_bn")
+                    if isinstance(self.model_state, dict) else None)
             else:
                 sem = img
             cache[batch.scene_id] = np.asarray(sem)
         return cache[batch.scene_id]
 
-    def _step_config(self, eval_k_chunk=None, segment_in_step=False):
+    def _step_config(self, eval_k_chunk=None, segment_in_step=False,
+                     segment_train_mode=False):
         p = self.params
         return steps_lib.StepConfig(
             obs_len=p["obs_len"], pred_len=p["pred_len"],
@@ -201,6 +219,7 @@ class Experiment:
                              else p.get("eval_k_chunk", 0)),
             swap_semantic=bool(p.get("swap_semantic", False)),
             segment_in_step=segment_in_step,
+            segment_train_mode=segment_train_mode,
             use_features_only=bool(p.get("use_features_only", False)),
             world_coords=(p["dataset_name"].lower() == "eth"),
             compute_dtype=_parse_compute_dtype(
@@ -250,6 +269,8 @@ class Experiment:
             self.mcfg, self._step_config(segment_in_step=segment_in_step),
             optimizer)
         eval_step = steps_lib.make_eval_step(self.mcfg, self._step_config())
+        e_unfreeze = self._e_unfreeze()
+        unfreeze_step = None  # built lazily at the boundary
 
         best_val_ade = float("inf")
         best_epoch = 0
@@ -269,19 +290,60 @@ class Experiment:
 
         state = self.model_state
         meter = ThroughputMeter()
-        for e in range(int(p["n_epoch"])):
+
+        # ---- mid-run resume: restore optimizer/epoch/val-history/best and
+        # fast-forward the per-epoch shuffles so batch order is identical to
+        # an uninterrupted run (--resume; smooth-val's snapshot window
+        # re-fills over the next half window)
+        start_epoch = 0
+        train_state_path = (
+            f'{p["ckpt_path"]}/{experiment_name}__train_state.npz')
+        if p.get("resume") and os.path.exists(train_state_path):
+            trainable, opt_state, start_epoch, extras = \
+                self.restore_training_state(train_state_path, trainable,
+                                            opt_state)
+            if extras["model_state"] is not None:
+                state = extras["model_state"]
+            self.val_ADE = extras["val_ADE"]
+            self.val_FDE = extras["val_FDE"]
+            if extras["best_val_ade"] is not None:
+                best_val_ade = float(extras["best_val_ade"])
+            best_epoch = int(extras.get("best_epoch") or 0)
+            best_snapshot = extras["best_snapshot"]
+            for _ in range(start_epoch):
+                rng.shuffle(train_batches)
+            print(f"Resumed training state at epoch {start_epoch} "
+                  f"from {train_state_path}")
+
+        for e in range(start_epoch, int(p["n_epoch"])):
             # ---- one training epoch; scene-batch order reshuffled per
             # epoch like the reference's DataLoader(shuffle=True)
             # (trainer.py:574-576) — independent of the --shuffle flag,
             # which controls data *splits*
+            # e_unfreeze boundary: from this epoch the backbone runs inside
+            # the step with batch-stats BN; its running stats move into
+            # state['segmentation_bn'] and adapt (reference
+            # train_epoch.py:27-48). Earlier epochs keep the cached path.
+            in_unfreeze = e_unfreeze is not None and e >= e_unfreeze
+            if in_unfreeze and unfreeze_step is None:
+                unfreeze_step = steps_lib.make_train_step(
+                    self.mcfg, self._step_config(segment_in_step=True,
+                                                 segment_train_mode=True),
+                    optimizer)
+                if "segmentation_bn" not in state:
+                    from mst_tpu.models.unet import extract_bn_stats
+                    state = {**state, "segmentation_bn": extract_bn_stats(
+                        self.model_params["segmentation"])}
+            step = unfreeze_step if in_unfreeze else train_step
+
             seg_cache = {}
             rng.shuffle(train_batches)
             ade_sum = fde_sum = loss_sum = n_sum = 0.0
             for batch in train_batches:
-                semantic = self._semantic_for(batch, seg_cache,
-                                              raw=segment_in_step)
+                semantic = self._semantic_for(
+                    batch, seg_cache, raw=segment_in_step or in_unfreeze)
                 db = self._device_batch(batch, semantic)
-                trainable, state, opt_state, metrics = train_step(
+                trainable, state, opt_state, metrics = step(
                     trainable, frozen, state, opt_state, db)
                 ade_sum += float(metrics["ade_sum"])
                 fde_sum += float(metrics["fde_sum"])
@@ -340,6 +402,12 @@ class Experiment:
                 self.save_params(
                     f'{p["ckpt_path"]}/{experiment_name}__epoch_{e}.npz',
                     mask=mask)
+                self.save_training_state(
+                    train_state_path, trainable, opt_state, e + 1,
+                    val_history=self.val_ADE, model_state=state,
+                    val_fde_history=self.val_FDE,
+                    best_snapshot=best_snapshot,
+                    best_val_ade=best_val_ade, best_epoch=best_epoch)
 
             # early stop on clear overfitting (trainer.py:279-281)
             if fine_tune and self.val_ADE and \
@@ -365,37 +433,70 @@ class Experiment:
     # -- mid-run resume (exceeds the reference: trainer.py never saves
     # optimizer state, SURVEY.md §5) -----------------------------------------
     def save_training_state(self, path, trainable, opt_state, epoch,
-                            val_history=None):
-        """Persist trainable params + optimizer state + epoch counter."""
+                            val_history=None, model_state=None,
+                            val_fde_history=None, best_snapshot=None,
+                            best_val_ade=None, best_epoch=None):
+        """Persist everything a faithful mid-run resume needs: trainable
+        params, optimizer state, epoch counter, BN state, val history and
+        the best-checkpoint tracking (snapshot + score)."""
         import json
 
         flat = {f"trainable/{k}": v for k, v in
                 ckpt_lib.flatten_tree(trainable).items()}
         for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
             flat[f"opt/{i}"] = np.asarray(leaf)
+        if model_state:
+            flat.update({f"state/{k}": v for k, v in
+                         ckpt_lib.flatten_tree(model_state).items()})
+        if best_snapshot is not None:
+            flat.update({f"best/{k}": v for k, v in
+                         ckpt_lib.flatten_tree(best_snapshot).items()})
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         np.savez(path, **flat)
+        meta = {**self._ckpt_metadata(), "epoch": epoch,
+                "val_ADE": list(map(float, val_history or [])),
+                "val_FDE": list(map(float, val_fde_history or [])),
+                "has_best": best_snapshot is not None}
+        if best_val_ade is not None and np.isfinite(best_val_ade):
+            meta["best_val_ade"] = float(best_val_ade)
+        if best_epoch is not None:
+            meta["best_epoch"] = int(best_epoch)
         with open(str(path) + ".json", "w") as f:
-            json.dump({**self._ckpt_metadata(), "epoch": epoch,
-                       "val_ADE": list(map(float, val_history or []))}, f,
-                      default=str)
+            json.dump(meta, f, default=str)
 
     def restore_training_state(self, path, trainable, opt_state):
         """Restore a saved training state onto freshly-initialized trees;
-        returns (trainable, opt_state, epoch)."""
+        returns (trainable, opt_state, epoch, extras) where extras carries
+        model_state / best_snapshot / histories when present."""
         import json
 
         flat = ckpt_lib.load_checkpoint(path)
         tr_flat = {k[len("trainable/"):]: v for k, v in flat.items()
                    if k.startswith("trainable/")}
-        trainable = ckpt_lib.overlay_checkpoint(trainable, tr_flat)
+        restored = ckpt_lib.overlay_checkpoint(trainable, tr_flat)
         treedef = jax.tree_util.tree_structure(opt_state)
         n = treedef.num_leaves
         leaves = [jax.numpy.asarray(flat[f"opt/{i}"]) for i in range(n)]
         opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
         with open(str(path) + ".json") as f:
             meta = json.load(f)
-        return trainable, opt_state, int(meta["epoch"])
+
+        extras = {"val_ADE": list(meta.get("val_ADE", [])),
+                  "val_FDE": list(meta.get("val_FDE", [])),
+                  "best_val_ade": meta.get("best_val_ade"),
+                  "best_epoch": meta.get("best_epoch", 0),
+                  "model_state": None, "best_snapshot": None}
+        st_flat = {k[len("state/"):]: v for k, v in flat.items()
+                   if k.startswith("state/")}
+        if st_flat:
+            extras["model_state"] = ckpt_lib.unflatten_dict(st_flat)
+        if meta.get("has_best"):
+            best_flat = {k[len("best/"):]: v for k, v in flat.items()
+                         if k.startswith("best/")}
+            extras["best_snapshot"] = jax.tree.map(
+                np.asarray,
+                ckpt_lib.overlay_checkpoint(trainable, best_flat))
+        return restored, opt_state, int(meta["epoch"]), extras
 
     def _save_full_or_delta(self, path, mask):
         train_net = self.params.get("train_net", "train")

@@ -97,7 +97,7 @@ def test_bf16_features_really_bf16(tmp_path, dataset):
     assert scfg.compute_dtype == jnp.bfloat16
 
     mparams = steps_lib._compute_params(exp.model_params, scfg)
-    sem, obs = steps_lib._prepare_inputs(
+    sem, obs, _ = steps_lib._prepare_inputs(
         exp.mcfg, scfg, mparams, db["semantic"], db["traj"], train=False)
     assert sem.dtype == jnp.bfloat16 and obs.dtype == jnp.bfloat16
     from mst_tpu.models import ynet as ynet_lib

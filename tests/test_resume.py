@@ -52,8 +52,9 @@ def test_training_state_roundtrip(tmp_path):
     tr2, fz2 = freeze_lib.split_params(exp2.model_params,
                                        exp2._trainable_mask())
     opt2 = optimizer.init(tr2)
-    tr2, opt2, epoch = exp2.restore_training_state(ckpt, tr2, opt2)
+    tr2, opt2, epoch, extras = exp2.restore_training_state(ckpt, tr2, opt2)
     assert epoch == 3
+    assert extras["val_ADE"] == [1.0, 2.0]
     # restored trainable equals the saved one
     def assert_eq(a, b):
         if a is None and b is None:
@@ -72,3 +73,49 @@ def test_training_state_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
     jax.tree.map(assert_close, r_tr, cont_tr, is_leaf=lambda x: x is None)
+
+
+def _lora_leaves(params):
+    from mst_tpu.train.checkpoints import flatten_tree
+
+    return {k: v for k, v in flatten_tree(params).items() if "lora" in k}
+
+
+def test_kill_and_resume_bitwise_identical(tmp_path):
+    """Training killed at epoch 2/4 and resumed with --resume reaches the
+    SAME final trainable params as an uninterrupted 4-epoch run (same data
+    order, same optimizer state, same best-ckpt tracking)."""
+    df, images = make_synthetic_dataset(seed=0, n_scenes=2, n_traj=8,
+                                        total_len=12)
+    ids = df.metaId.unique()
+    df_train = df[df.metaId.isin(ids[:10])]
+    df_val = df[df.metaId.isin(ids[10:])]
+
+    def make(n_epoch, ckpt_dir, resume=False):
+        return config_lib.get_params(overrides=dict(
+            obs_len=4, pred_len=8, waypoints=[7], n_semantic_classes=3,
+            encoder_channels=[8, 8, 16, 16, 16],
+            decoder_channels=[16, 16, 16, 8, 8], kernlen=31, nsig=4,
+            loss_scale=1000, resize_factor=0.25, temperature=1.0, n_goal=3,
+            n_traj=1, batch_size=4, lr=1e-3, n_epoch=n_epoch,
+            dataset_name="sdd", ckpt_path=str(ckpt_dir),
+            train_net="mosa_2", position=["0", "1", "2", "3", "4"],
+            n_round=1, seed=1, save_every_n=2, resume=resume,
+            segmentation_model_fp=None))
+
+    # uninterrupted 4-epoch run
+    exp_full = Experiment(make(4, tmp_path / "full"), images=images)
+    exp_full.train(df_train, df_val, None, None, "resume_test")
+    want = _lora_leaves(exp_full.model_params)
+
+    # killed at epoch 2 (train_state saved by save_every_n=2) ...
+    exp_a = Experiment(make(2, tmp_path / "int"), images=images)
+    exp_a.train(df_train, df_val, None, None, "resume_test")
+    # ... then resumed to epoch 4
+    exp_b = Experiment(make(4, tmp_path / "int", resume=True), images=images)
+    exp_b.train(df_train, df_val, None, None, "resume_test")
+    got = _lora_leaves(exp_b.model_params)
+
+    assert want.keys() == got.keys() and len(want) > 0
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)

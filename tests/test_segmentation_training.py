@@ -84,3 +84,56 @@ def test_backbone_cached_when_frozen(tmp_path, dataset):
     _, _, _, images = dataset
     exp = _exp(tmp_path, images, train_net="mosa_2", position=["0"])
     assert not exp._segment_in_step()
+
+
+def _bn_stat_leaves(tree):
+    from mst_tpu.train.checkpoints import flatten_tree
+
+    return {k: v for k, v in flatten_tree(tree).items()
+            if "running_mean" in k or "running_var" in k}
+
+
+def test_e_unfreeze_adapts_bn_after_boundary(tmp_path, dataset):
+    """Before epoch e_unfreeze the backbone BN stats must not move; from
+    the boundary on they adapt per step (reference model.train() backbone
+    mode, train_epoch.py:27-48) while backbone weights stay frozen
+    (trainer.py:113-114)."""
+    df_train, df_val, _, images = dataset
+    exp = _exp(tmp_path, images, train_net="train", n_epoch=2, e_unfreeze=1)
+    assert not exp._segment_in_step()  # pre-boundary keeps the cached path
+    assert exp._e_unfreeze() == 1
+
+    from mst_tpu.train.checkpoints import flatten_tree
+
+    seg0 = jax.tree.map(np.asarray, exp.model_params["segmentation"])
+    stats0 = _bn_stat_leaves(seg0)
+    weights0 = {k: v for k, v in flatten_tree(seg0).items()
+                if k.endswith("weight")}
+
+    exp.train(df_train, df_val, None, None, "unfreeze_test")
+
+    # inline params (incl. BN stats living in params) untouched
+    stats_inline = _bn_stat_leaves(exp.model_params["segmentation"])
+    for k in stats0:
+        np.testing.assert_array_equal(stats_inline[k], stats0[k])
+    weights_after = {k: v for k, v in flatten_tree(
+        exp.model_params["segmentation"]).items() if k.endswith("weight")}
+    for k in weights0:
+        np.testing.assert_array_equal(weights_after[k], weights0[k])
+
+    # adapted stats live in state['segmentation_bn'], share the params'
+    # path keyspace, and have moved
+    assert "segmentation_bn" in exp.model_state
+    adapted = _bn_stat_leaves(exp.model_state["segmentation_bn"])
+    assert adapted and set(adapted) <= set(stats0)
+    moved = sum(not np.allclose(adapted[k], stats0[k]) for k in adapted)
+    assert moved > 0
+
+
+def test_e_unfreeze_disabled_keeps_state_clean(tmp_path, dataset):
+    df_train, df_val, _, images = dataset
+    exp = _exp(tmp_path, images, train_net="train", n_epoch=1,
+               e_unfreeze=10000)
+    assert exp._e_unfreeze() is None
+    exp.train(df_train, df_val, None, None, "no_unfreeze")
+    assert "segmentation_bn" not in exp.model_state
