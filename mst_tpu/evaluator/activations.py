@@ -63,13 +63,22 @@ def goal_sigmoid_diff(acts_a, acts_b, temperature=1.0):
 def main():
     from mst_tpu.data.splits import prepare_dataset
     from mst_tpu.evaluator.multickpts import get_meta_ids_focus, restore
-    from mst_tpu.evaluator.visualization import plot_goal_map
+    from mst_tpu.evaluator.visualization import (plot_activation,
+                                                 plot_goal_map,
+                                                 plot_saliency_maps)
 
     parser = config_lib.get_parser(False)
     parser.add_argument("--given_meta_ids", default=None, type=int,
                         nargs="+")
     parser.add_argument("--random_n", default=None, type=int)
     parser.add_argument("--out_dir", default="figures/activation")
+    parser.add_argument("--saliency", default=None, type=str, nargs="+",
+                        choices=["scene", "semantic", "traj"],
+                        help="also plot input-gradient saliency maps of the"
+                             " probe loss wrt these inputs (reference"
+                             " trainer.py:468-484 + plot_saliency_maps)")
+    parser.add_argument("--plot_layer_activations", action="store_true",
+                        help="per-layer channel-mean activation figures")
     args = parser.parse_args()
     set_random_seeds(args.seed)
     params = config_lib.get_params(args)
@@ -94,6 +103,22 @@ def main():
         gm = acts[name]["goal_decoder.predictor_output"]
         plot_goal_map(1 / (1 + np.exp(-gm[0, ..., -1])), args.out_dir,
                       f"{name}__goal_sigmoid")
+        if args.plot_layer_activations:
+            plot_activation(
+                {k: v for k, v in acts[name].items()
+                 if k.startswith(("encoder", "goal_decoder",
+                                  "traj_decoder"))},
+                out_dir=f"{args.out_dir}/{name}",
+                scene_img=acts[name]["semantic"][0])
+        if args.saliency:
+            _, _, sem_in, grads = model.forward_test(
+                df_test, image_path, set_input=tuple(args.saliency),
+                decision="loss", input_grads=True)
+            for inp_name, grad in grads.items():
+                plot_saliency_maps(
+                    np.asarray(sem_in), grad,
+                    f"d(loss)/d({inp_name})", f"{name}__{inp_name}",
+                    out_dir=f"{args.out_dir}/saliency")
     names = list(acts)
     if len(names) >= 2:
         diff = goal_sigmoid_diff(acts[names[0]], acts[names[1]],

@@ -136,3 +136,454 @@ def plot_input_space(semantic, observed_map, out_dir, name="input_space"):
     for ax in axes:
         ax.set_axis_off()
     return _save(fig, out_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# few-shot results-directory reader (reference visualization.py:34-81)
+# ---------------------------------------------------------------------------
+
+def create_few_shot_plot(results_dir, out_dir, fontsize=14, fmt="png"):
+    """ADE vs #batches from the csv tree the eval tooling writes:
+    <results_dir>/<update_mode>/<seed>/<num>.csv, with the zero-shot point
+    read from the sibling 'None' update-mode (reference layout)."""
+    import pandas as pd
+
+    ades = {}
+    for update_mode in sorted(os.listdir(results_dir)):
+        mode_dir = os.path.join(results_dir, update_mode)
+        if not os.path.isdir(mode_dir):
+            continue
+        ades[update_mode] = {}
+        for seed in os.listdir(mode_dir):
+            seed_dir = os.path.join(mode_dir, seed)
+            for num_file in os.listdir(seed_dir):
+                if not num_file.endswith(".csv"):
+                    continue
+                num = int(num_file.split(".csv")[0])
+                ade = float(pd.read_csv(
+                    os.path.join(seed_dir, num_file)).values[0][0])
+                ades[update_mode].setdefault(num, []).append(ade)
+            zero = results_dir.split("/")
+            if len(zero) >= 2:
+                zero[-2] = "None"
+            zero_path = "/".join(zero + ["eval", seed, "0.csv"])
+            if os.path.isfile(zero_path):
+                ade = float(pd.read_csv(zero_path).values[0][0])
+                ades[update_mode].setdefault(0, []).append(ade)
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for mode, vals in ades.items():
+        xs = sorted(vals)
+        means = [np.mean(vals[x]) for x in xs]
+        stds = [np.std(vals[x]) for x in xs]
+        ax.errorbar(xs, means, yerr=stds, marker="o", capsize=3, label=mode)
+    ax.set_xlabel("# Batches", fontsize=fontsize)
+    ax.set_ylabel("ADE", fontsize=fontsize)
+    ax.legend(fontsize=fontsize - 2)
+    ax.xaxis.get_major_locator().set_params(integer=True)
+    return _save(fig, out_dir, "result", fmt)
+
+
+# ---------------------------------------------------------------------------
+# feature space (reference visualization.py:612-896)
+# ---------------------------------------------------------------------------
+
+def _channel_grid(arr_hwc, axes_row):
+    for c in range(arr_hwc.shape[-1]):
+        axes_row[c].imshow(arr_hwc[..., c])
+        axes_row[c].set_xticks([])
+        axes_row[c].set_yticks([])
+        axes_row[c].set_xlabel(f"channel_{c + 1}", fontsize=6)
+
+
+def plot_feature_space(dict_features, out_dir="figures/feature_space",
+                       show_diff=True, fmt="png", max_channels=16):
+    """Per-sample feature maps, per checkpoint or as OODG-minus-tuned diffs.
+
+    dict_features: {ckpt_name: {scene_id: {feature_name: (B,H,W,C) array,
+    'metaId': list}}} — the capture_activations output contract
+    (reference plot_feature_space, visualization.py:612-710; NHWC here).
+    """
+    paths = []
+    ckpts = list(dict_features)
+    first = dict_features[ckpts[0]]
+    for scene_id, dict_scene in first.items():
+        feature_names = [k for k in dict_scene if k != "metaId"]
+        for i, meta_id in enumerate(dict_scene["metaId"]):
+            for fname in feature_names:
+                if show_diff and "OODG" in dict_features:
+                    rows = {c: (dict_features["OODG"][scene_id][fname][i]
+                                - dict_features[c][scene_id][fname][i])
+                            for c in ckpts if c != "OODG"
+                            and c in dict_features}
+                    suffix = "_diff"
+                else:
+                    rows = {c: dict_features[c][scene_id][fname][i]
+                            for c in ckpts}
+                    suffix = ""
+                if not rows:
+                    continue
+                n_ch = min(next(iter(rows.values())).shape[-1],
+                           max_channels)
+                fig, axes = plt.subplots(
+                    len(rows), n_ch,
+                    figsize=(1.6 * n_ch, 1.6 * len(rows)), squeeze=False)
+                for k, (ckpt, arr) in enumerate(rows.items()):
+                    _channel_grid(np.asarray(arr)[..., :n_ch], axes[k])
+                    axes[k][0].set_ylabel(ckpt, fontsize=7)
+                axes[0][n_ch // 2].set_title(
+                    f"meta_id={meta_id}, scene_id={scene_id}, "
+                    f"feature={fname}", fontsize=7)
+                paths.append(_save(
+                    fig, out_dir,
+                    f"{meta_id}__{scene_id}__{fname}{suffix}", fmt))
+    return paths
+
+
+def plot_feature_space_diff_evolution(
+        dict_features, out_dir="figures/feature_space_diff",
+        encoder_only=False, diff_type="absolute", fmt="png"):
+    """Layer-wise mean |OODG - tuned| feature difference, one line per
+    tuned checkpoint (reference visualization.py:710-896). Also writes the
+    per-layer table as csv. diff_type: absolute | relative."""
+    import pandas as pd
+
+    rows = []
+    for ckpt in dict_features:
+        if ckpt == "OODG" or "OODG" not in dict_features:
+            continue
+        for scene_id, dict_scene in dict_features["OODG"].items():
+            feature_names = [k for k in dict_scene if k != "metaId"]
+            if encoder_only:
+                feature_names = [f for f in feature_names
+                                 if "encoder" in f.lower()]
+            for fname in feature_names:
+                a = np.asarray(dict_scene[fname], dtype=np.float64)
+                b = np.asarray(dict_features[ckpt][scene_id][fname],
+                               dtype=np.float64)
+                diff = np.abs(a - b)
+                if diff_type == "relative":
+                    diff = diff / (np.abs(a) + 1e-12)
+                rows.append({"ckpt": f"diff_OODG_{ckpt}",
+                             "scene_id": scene_id, "feature": fname,
+                             "diff": float(diff.mean())})
+    df = pd.DataFrame(rows)
+    pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+    csv_path = os.path.join(out_dir, f"diff_evolution_{diff_type}.csv")
+    df.to_csv(csv_path, index=False)
+    fig, ax = plt.subplots(figsize=(max(6, 0.6 * df.feature.nunique()), 4))
+    for ckpt, g in df.groupby("ckpt"):
+        agg = g.groupby("feature", sort=False)["diff"].mean()
+        ax.plot(agg.index, agg.values, marker="o", label=ckpt)
+    ax.set_ylabel(f"{diff_type} feature diff")
+    ax.set_xlabel("Layers")
+    ax.tick_params(axis="x", rotation=45)
+    ax.legend()
+    path = _save(fig, out_dir, f"diff_evolution_{diff_type}", fmt)
+    return path, csv_path
+
+
+def plot_decoder_overlay(image, dict_features,
+                         out_dir="figures/decoder", fmt="png",
+                         decoder_key="decoder", alpha=0.6):
+    """Channel-mean decoder feature maps overlaid on the scene image
+    (reference plot_decoder_overlay, visualization.py:1152-1204)."""
+    paths = []
+    img = np.asarray(image)
+    for ckpt, dict_scene_all in dict_features.items():
+        for scene_id, dict_scene in dict_scene_all.items():
+            for fname, arr in dict_scene.items():
+                if fname == "metaId" or decoder_key not in fname.lower():
+                    continue
+                fmap = np.asarray(arr)[0].mean(axis=-1)  # (h, w)
+                fig, ax = plt.subplots(figsize=(6, 6))
+                ax.imshow(img[..., ::-1] if img.ndim == 3 else img,
+                          cmap=None if img.ndim == 3 else "gray")
+                zoom_h = img.shape[0] / fmap.shape[0]
+                zoom_w = img.shape[1] / fmap.shape[1]
+                up = np.kron(fmap, np.ones((int(np.ceil(zoom_h)),
+                                            int(np.ceil(zoom_w)))))
+                ax.imshow(up[:img.shape[0], :img.shape[1]], cmap="hot",
+                          alpha=alpha)
+                ax.set_axis_off()
+                ax.set_title(f"{ckpt} {fname}", fontsize=8)
+                paths.append(_save(fig, out_dir,
+                                   f"{ckpt}__{scene_id}__{fname}", fmt))
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# filters (reference visualization.py:1205-1385)
+# ---------------------------------------------------------------------------
+
+def _conv_kernels(params):
+    """Yield (path, (kh, kw, cin, cout) kernel) for encoder/decoder convs."""
+    from mst_tpu.train.checkpoints import flatten_tree
+
+    for path, leaf in flatten_tree(params).items():
+        if not path.startswith(("encoder", "goal_decoder", "traj_decoder")):
+            continue
+        if path.endswith("weight") and np.ndim(leaf) == 4:
+            yield path, np.asarray(leaf)
+
+
+def plot_filters(params_dict, out_dir="figures/filters", fmt="png",
+                 max_in=8, max_out=8):
+    """Kernel-weight grids (in-channels x out-channels of each conv) per
+    checkpoint (reference plot_filters, visualization.py:1205-1232).
+    params_dict: {ckpt_name: params pytree}; kernels are HWIO."""
+    paths = []
+    for name, params in params_dict.items():
+        for path, k in _conv_kernels(params):
+            kh, kw, cin, cout = k.shape
+            ni, no = min(cin, max_in), min(cout, max_out)
+            vmin, vmax = float(k.min()), float(k.max())
+            fig, axes = plt.subplots(ni, no, figsize=(no * 1.0, ni * 1.0),
+                                     squeeze=False)
+            for i in range(ni):
+                for o in range(no):
+                    im = axes[i][o].imshow(k[:, :, i, o], vmin=vmin,
+                                           vmax=vmax)
+                    axes[i][o].set_xticks([])
+                    axes[i][o].set_yticks([])
+            fig.colorbar(im, ax=axes[0][no - 1], shrink=0.8)
+            axes[0][no // 2].set_title("Out channels", fontsize=7)
+            axes[ni // 2][0].set_ylabel("In channels", fontsize=7)
+            paths.append(_save(
+                fig, out_dir, f"{name}__{path.replace('/', '.')}", fmt))
+    return paths
+
+
+def plot_filters_diff_evolution(params_dict,
+                                out_dir="figures/filters_diff", fmt="png"):
+    """Per-layer weight sum/avg and OODG-vs-tuned differences as line plots
+    + csv (reference plot_filters_diff_evolution,
+    visualization.py:1233-1385)."""
+    import pandas as pd
+
+    from mst_tpu.train.checkpoints import flatten_tree
+
+    table = {}
+    flats = {name: {k: np.asarray(v) for k, v in flatten_tree(p).items()
+                    if not k.startswith("segmentation")}
+             for name, p in params_dict.items()}
+    for name, flat in flats.items():
+        for pth, v in flat.items():
+            table.setdefault(pth, {})[f"{name}__sum"] = float(v.sum())
+            table[pth][f"{name}__avg"] = float(v.mean())
+            if name != "OODG" and "OODG" in flats and pth in flats["OODG"]:
+                base = flats["OODG"][pth]
+                d = base - v
+                table[pth][f"diff_OODG_{name}__absolute"] = float(d.sum())
+                table[pth][f"diff_OODG_{name}__overall_relative"] = float(
+                    d.sum() / (base.sum() + 1e-12))
+    df = pd.DataFrame(table).T
+    pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+    csv_path = os.path.join(out_dir, "filters_diff.csv")
+    df.to_csv(csv_path)
+
+    weight_rows = df.index.str.endswith("weight")
+    paths = [csv_path]
+    for op in ("sum", "avg"):
+        fig, ax = plt.subplots(
+            figsize=(max(6, 0.25 * int(weight_rows.sum())), 4))
+        for name in params_dict:
+            col = f"{name}__{op}"
+            if col in df.columns:
+                ax.plot(range(int(weight_rows.sum())),
+                        df.loc[weight_rows, col], "-", label=name)
+        ax.axhline(0, color="gray", lw=0.5, alpha=0.4)
+        ax.set_title("Filters")
+        ax.set_ylabel("Value")
+        ax.set_xlabel("Layers")
+        ax.legend()
+        paths.append(_save(fig, out_dir, f"filters__{op}__plot", fmt))
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# activations (reference plot_activation, visualization.py:258-575)
+# ---------------------------------------------------------------------------
+
+def plot_activation(acts, out_dir="figures/activation", fmt="png",
+                    scene_img=None, reduce="mean", max_layers=None):
+    """Channel-reduced activation map per captured layer, optionally next
+    to the scene image (essence of reference plot_activation,
+    visualization.py:258-575). acts: {layer_name: (B,H,W,C)}."""
+    paths = []
+    names = list(acts)[:max_layers] if max_layers else list(acts)
+    for lname in names:
+        a = np.asarray(acts[lname])[0]
+        amap = a.mean(axis=-1) if reduce == "mean" else a.max(axis=-1)
+        ncol = 2 if scene_img is not None else 1
+        fig, axes = plt.subplots(1, ncol, figsize=(5 * ncol, 5),
+                                 squeeze=False)
+        col = 0
+        if scene_img is not None:
+            img = np.asarray(scene_img)
+            axes[0][0].imshow(scene_img_from_input(img) if img.ndim == 3
+                              else img)
+            axes[0][0].set_title("scene")
+            axes[0][0].set_axis_off()
+            col = 1
+        im = axes[0][col].imshow(amap, cmap="viridis")
+        fig.colorbar(im, ax=axes[0][col], shrink=0.8)
+        axes[0][col].set_title(f"{lname} ({reduce})", fontsize=8)
+        axes[0][col].set_axis_off()
+        paths.append(_save(fig, out_dir,
+                           lname.replace("/", "."), fmt))
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# prediction overlays (reference visualization.py:897-1151)
+# ---------------------------------------------------------------------------
+
+def plot_obs_pred_trajs(image, dict_trajs, out_dir="figures/prediction",
+                        name="prediction", obs_len=8, fmt="png"):
+    """Observed (solid), groundtruth (dotted) and per-checkpoint predicted
+    (dashed) trajectories on the scene (reference plot_obs_pred_trajs /
+    plot_prediction, visualization.py:966-1039).
+    dict_trajs: {'gt': (B,T,2), ckpt_name: (B,pred_len,2), ...}."""
+    fig, ax = plt.subplots(figsize=(7, 7))
+    img = np.asarray(image)
+    ax.imshow(img[..., ::-1] if img.ndim == 3 and img.dtype == np.uint8
+              else img, cmap=None if img.ndim == 3 else "gray")
+    gt = np.asarray(dict_trajs["gt"])
+    for i, t in enumerate(gt):
+        ax.plot(t[:obs_len, 0], t[:obs_len, 1], "-", c="k", lw=1.4,
+                label="observed" if i == 0 else None)
+        ax.plot(t[obs_len - 1:, 0], t[obs_len - 1:, 1], ":", c="C0", lw=1.4,
+                label="groundtruth" if i == 0 else None)
+    for k, (ckpt, preds) in enumerate(
+            (kk, vv) for kk, vv in dict_trajs.items() if kk != "gt"):
+        preds = np.asarray(preds)
+        for i, t in enumerate(preds):
+            start = gt[i, obs_len - 1:obs_len] if i < len(gt) else t[:1]
+            t = np.concatenate([start, t], axis=0)
+            ax.plot(t[:, 0], t[:, 1], "--", c=f"C{k + 1}", lw=1.2,
+                    label=ckpt if i == 0 else None)
+    ax.legend(loc="upper right", fontsize=8)
+    ax.set_axis_off()
+    return _save(fig, out_dir, name, fmt)
+
+
+def plot_multiple_predictions(image, gt, samples,
+                              out_dir="figures/prediction",
+                              name="multi_pred", obs_len=8, fmt="png"):
+    """All K sampled trajectories for one agent, alpha-faded, best in
+    color (reference plot_multiple_predictions,
+    visualization.py:1040-1089). samples: (K, pred_len, 2)."""
+    fig, ax = plt.subplots(figsize=(7, 7))
+    img = np.asarray(image)
+    ax.imshow(img[..., ::-1] if img.ndim == 3 and img.dtype == np.uint8
+              else img, cmap=None if img.ndim == 3 else "gray")
+    gt = np.asarray(gt)
+    ax.plot(gt[:obs_len, 0], gt[:obs_len, 1], "-", c="k", lw=1.6,
+            label="observed")
+    ax.plot(gt[obs_len - 1:, 0], gt[obs_len - 1:, 1], ":", c="C0", lw=1.6,
+            label="groundtruth")
+    samples = np.asarray(samples)
+    err = np.linalg.norm(samples - gt[None, obs_len:], axis=-1).mean(-1)
+    best = int(err.argmin())
+    for k, t in enumerate(samples):
+        if k == best:
+            continue
+        ax.plot(t[:, 0], t[:, 1], "--", c="C3", lw=0.8, alpha=0.25)
+    ax.plot(samples[best][:, 0], samples[best][:, 1], "--", c="C3", lw=1.6,
+            label=f"best of {len(samples)}")
+    ax.legend(loc="upper right", fontsize=8)
+    ax.set_axis_off()
+    return _save(fig, out_dir, name, fmt)
+
+
+def plot_goal_map_with_samples(image, goal_map_sigmoid, samples_by_ckpt,
+                               out_dir="figures/goal_map",
+                               name="goal_samples", fmt="png"):
+    """Sigmoid goal map over the scene with sampled goals per checkpoint
+    (reference plot_goal_map_with_samples, visualization.py:1090-1151)."""
+    fig, ax = plt.subplots(figsize=(7, 7))
+    img = np.asarray(image)
+    ax.imshow(img[..., ::-1] if img.ndim == 3 and img.dtype == np.uint8
+              else img, cmap=None if img.ndim == 3 else "gray")
+    ax.imshow(np.asarray(goal_map_sigmoid), cmap="hot", alpha=0.55)
+    for k, (ckpt, pts) in enumerate(samples_by_ckpt.items()):
+        pts = np.asarray(pts).reshape(-1, 2)
+        ax.scatter(pts[:, 0], pts[:, 1], s=14, marker="x", c=f"C{k}",
+                   label=ckpt)
+    ax.legend(loc="upper right", fontsize=8)
+    ax.set_axis_off()
+    return _save(fig, out_dir, name, fmt)
+
+
+def plot_trajectories_scenes_overlay(image, df_primary, df_secondary=None,
+                                     out_dir="figures/scene_with_trajs",
+                                     name="overlay", fmt="png"):
+    """Dataset-level overlay of all trajectories of one (or two) agent
+    categories on a scene (reference plot_trajectories_scenes_overlay,
+    visualization.py:897-965). DataFrames need x/y/metaId columns."""
+    fig, ax = plt.subplots(figsize=(7, 7))
+    img = np.asarray(image)
+    ax.imshow(img[..., ::-1] if img.ndim == 3 and img.dtype == np.uint8
+              else img, cmap=None if img.ndim == 3 else "gray")
+    for df, color, lbl in ((df_primary, "C3", "primary"),
+                           (df_secondary, "C0", "secondary")):
+        if df is None:
+            continue
+        for j, (_, g) in enumerate(df.groupby("metaId")):
+            ax.plot(g["x"], g["y"], "-", c=color, lw=0.8, alpha=0.6,
+                    label=lbl if j == 0 else None)
+    ax.legend(loc="upper right", fontsize=8)
+    ax.set_axis_off()
+    return _save(fig, out_dir, name, fmt)
+
+
+# ---------------------------------------------------------------------------
+# saliency (reference visualization.py:1548-1626)
+# ---------------------------------------------------------------------------
+
+def scene_img_from_input(input_hwc):
+    """BGR-normalized network input -> displayable RGB in [0, 1]
+    (reference get_correct_scene_img, visualization.py:1548-1562; NHWC +
+    the data pipeline's BGR quirk)."""
+    x = np.asarray(input_hwc, dtype=np.float64)
+    rgb = x[..., ::-1] if x.shape[-1] == 3 else x
+    return (rgb - x.min()) / (x.max() - x.min() + 1e-12)
+
+
+def plot_saliency_maps(input_img, grad_input, saliency_name, filename,
+                       out_dir="figures/saliency_maps", fmt="png",
+                       side_by_side=True, best_point=None):
+    """Input-gradient saliency: positive grads summed over batch+channels,
+    side-by-side with the scene and as a hot overlay (reference
+    plot_saliency_maps, visualization.py:1565-1626). input_img (B,H,W,C)
+    or (H,W,C); grad_input same shape, NHWC."""
+    inp = np.asarray(input_img)
+    if inp.ndim == 4:
+        inp = inp[0]
+    g = np.asarray(grad_input)
+    if g.ndim == 3:
+        g = g[None]
+    grad_img = g.sum(axis=(0, -1))
+    grad_img = np.where(grad_img < 0, 0.0, grad_img)
+    scene = scene_img_from_input(inp)
+    paths = []
+    if side_by_side:
+        fig, axes = plt.subplots(1, 2, figsize=(10, 5))
+        axes[0].imshow(scene)
+        axes[0].set_title("original scene")
+        im = axes[1].imshow(grad_img, cmap="gray_r")
+        axes[1].set_title(saliency_name)
+        if best_point is not None:
+            axes[1].scatter(best_point[0], best_point[1], c="r", marker="*")
+        fig.colorbar(im, ax=axes.ravel().tolist(), shrink=0.9)
+        paths.append(_save(fig, out_dir, filename, fmt))
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(scene)
+    im = ax.imshow(grad_img, cmap="hot", vmin=0, alpha=0.65)
+    fig.colorbar(im, ax=ax, shrink=0.5)
+    if best_point is not None:
+        ax.scatter(best_point[0], best_point[1], c="r", s=6, marker="*")
+    ax.set_title(saliency_name)
+    paths.append(_save(fig, out_dir, f"{filename}__overlay", fmt))
+    return paths

@@ -10,6 +10,7 @@ over a device mesh when one is provided.
 
 import collections
 import os
+import re
 import time
 
 import jax
@@ -166,7 +167,10 @@ class Experiment:
         permutation so the device kernel applies ONE matrix."""
         if not hasattr(self, "_homo_cache"):
             self._homo_cache = {}
-        scene = scene_id.split("_")[0]
+        # strip only augmentation suffixes: scene names may themselves
+        # contain underscores (ETH/UCY 'uni_examples' loads
+        # uni_examples_H.txt, reference trainer.py:551)
+        scene = re.sub(r"(_rot90|_rot180|_rot270|_fliplr)+$", "", scene_id)
         if scene not in self._homo_cache:
             mat = np.loadtxt(os.path.join(
                 self.params.get("data_dir", "data"), "eth_ucy",
@@ -561,11 +565,20 @@ class Experiment:
 
     # -- probe forward (reference trainer.py:354-516) ------------------------
     def forward_test(self, df_test, image_path, set_input=(),
-                     noisy_std_frac=None, decision="loss"):
+                     noisy_std_frac=None, decision="loss",
+                     input_grads=False):
         """Single-scene probe forward with optional input noise; returns
-        losses or prediction maps for activation analysis."""
+        losses or prediction maps for activation analysis.
+
+        input_grads=True additionally returns d(goal_loss+traj_loss)/d(input)
+        for every input named in set_input ('scene' = raw image before the
+        segmentation backbone, 'semantic' = backbone output, 'traj' =
+        observed motion heatmap) — the reference's requires_grad saliency
+        path (trainer.py:468-484) as one jax.grad. Return value gains a
+        trailing grads dict {name: NHWC array}."""
         import jax.numpy as jnp
 
+        from mst_tpu.models import segmentation as seg_lib
         from mst_tpu.ops.heatmap import (rasterize_dist_nhwc,
             rasterize_gaussian_nhwc)
         from mst_tpu.ops.pooling import avg_pool_pyramid
@@ -579,16 +592,11 @@ class Experiment:
         batch = batches[0]
         traj = jnp.asarray(np.concatenate(
             [b.trajectories[b.mask.astype(bool)] for b in batches]))
-        semantic = jnp.asarray(self._semantic_for(batch, {}))
-        H, W = semantic.shape[1:3]
+        has_backbone = "segmentation" in self.model_params
+        scene_img = jnp.asarray(batch.image[None])  # (1, H, W, 3 or C)
+        H, W = scene_img.shape[1:3]
 
         key = jax.random.fold_in(self._key, 777)
-        if noisy_std_frac is not None and "semantic" in set_input:
-            std = noisy_std_frac * (semantic.max() - semantic.min())
-            semantic = semantic + std * jax.random.normal(
-                key, semantic.shape)
-        semantic = ynet_lib.adapt_semantic(self.model_params, self.mcfg,
-                                           semantic)
         obs = traj[:, :p["obs_len"]]
         gt_future = traj[:, p["obs_len"]:]
         observed_map = rasterize_dist_nhwc(obs, H, W, self.template_size)
@@ -598,22 +606,73 @@ class Experiment:
                 jax.random.fold_in(key, 1), observed_map.shape)
         gt_map = rasterize_gaussian_nhwc(
             gt_future, H, W, p["kernlen"], float(p["nsig"]))
-        semantic_b = jnp.broadcast_to(
-            semantic, (traj.shape[0],) + semantic.shape[1:])
-        features, _ = ynet_lib.pred_features(
-            self.model_params, self.model_state, self.mcfg, semantic_b,
-            observed_map, train=False)
-        pred_goal_map = ynet_lib.pred_goal(self.model_params, features)
-        goal_loss = bce_with_logits(pred_goal_map, gt_map) * p["loss_scale"]
-        wp = jnp.asarray(p["waypoints"])
-        wp_map = pred_goal_map[..., wp]
-        pyr = avg_pool_pyramid(wp_map, len(features))
-        traj_in = [jnp.concatenate([f, w], axis=-1)
-                   for f, w in zip(features, pyr)]
-        pred_traj_map = ynet_lib.pred_traj(self.model_params, traj_in)
-        traj_loss = bce_with_logits(pred_traj_map, gt_map) * p["loss_scale"]
+
+        def segment(scene):
+            if has_backbone:
+                return seg_lib.apply(
+                    self.model_params["segmentation"], scene,
+                    self.mcfg.use_features_only,
+                    bn_state=self.model_state.get("segmentation_bn")
+                    if isinstance(self.model_state, dict) else None)
+            return scene
+
+        sem_key = jax.random.fold_in(key, 2)
+
+        def run(scene, semantic, obs_map):
+            """semantic=None -> derive from scene (keeps scene grads
+            flowing through the backbone); else use the given semantic."""
+            if semantic is None:
+                semantic = segment(scene)
+            if noisy_std_frac is not None and "semantic" in set_input:
+                std = noisy_std_frac * (semantic.max() - semantic.min())
+                semantic = semantic + std * jax.random.normal(
+                    sem_key, semantic.shape)
+            semantic = ynet_lib.adapt_semantic(self.model_params, self.mcfg,
+                                               semantic)
+            semantic_b = jnp.broadcast_to(
+                semantic, (traj.shape[0],) + semantic.shape[1:])
+            features, _ = ynet_lib.pred_features(
+                self.model_params, self.model_state, self.mcfg, semantic_b,
+                obs_map, train=False)
+            pred_goal_map = ynet_lib.pred_goal(self.model_params, features)
+            goal_loss = bce_with_logits(pred_goal_map,
+                                        gt_map) * p["loss_scale"]
+            wp = jnp.asarray(p["waypoints"])
+            wp_map = pred_goal_map[..., wp]
+            pyr = avg_pool_pyramid(wp_map, len(features))
+            traj_in = [jnp.concatenate([f, w], axis=-1)
+                       for f, w in zip(features, pyr)]
+            pred_traj_map = ynet_lib.pred_traj(self.model_params, traj_in)
+            traj_loss = bce_with_logits(pred_traj_map,
+                                        gt_map) * p["loss_scale"]
+            return goal_loss, traj_loss, pred_goal_map, pred_traj_map
+
+        semantic_in = segment(scene_img)
+        goal_loss, traj_loss, pred_goal_map, pred_traj_map = run(
+            scene_img, semantic_in, observed_map)
+
+        grads = {}
+        if input_grads:
+            def total(scene, semantic, obs_map):
+                gl, tl, _, _ = run(scene, semantic, obs_map)
+                return gl + tl
+
+            if "scene" in set_input:
+                grads["scene"] = np.asarray(jax.grad(
+                    lambda s: total(s, None, observed_map))(scene_img))
+            if "semantic" in set_input:
+                grads["semantic"] = np.asarray(jax.grad(
+                    lambda sm: total(scene_img, sm, observed_map))(
+                        semantic_in))
+            if "traj" in set_input:
+                grads["traj"] = np.asarray(jax.grad(
+                    lambda om: total(scene_img, semantic_in, om))(
+                        observed_map))
+
         if decision == "loss":
-            return goal_loss, traj_loss, semantic
-        if decision == "map":
-            return pred_goal_map, pred_traj_map, semantic
-        raise ValueError(f"No support for decision={decision}")
+            out = (goal_loss, traj_loss, semantic_in)
+        elif decision == "map":
+            out = (pred_goal_map, pred_traj_map, semantic_in)
+        else:
+            raise ValueError(f"No support for decision={decision}")
+        return out + (grads,) if input_grads else out

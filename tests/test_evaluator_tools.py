@@ -155,3 +155,138 @@ def test_forward_test_probe(tmp_path):
     gm, tm, sem = exp.forward_test(df, None, set_input=("semantic",),
                                    noisy_std_frac=0.05, decision="map")
     assert gm.shape[-1] == 8 and np.isfinite(np.asarray(gm)).all()
+
+
+def test_forward_test_input_grads(tmp_path):
+    """Saliency path: grads of the probe loss wrt scene / semantic / traj
+    inputs (reference trainer.py:468-484 requires_grad semantics)."""
+    df, images = make_synthetic_dataset(seed=0, n_scenes=1, n_traj=4,
+                                        total_len=TOTAL_LEN)
+    exp = Experiment(_params(tmp_path), images=images)
+    gl, tl, sem, grads = exp.forward_test(
+        df, None, set_input=("scene", "semantic", "traj"),
+        decision="loss", input_grads=True)
+    assert set(grads) == {"scene", "semantic", "traj"}
+    for name, g in grads.items():
+        assert np.isfinite(g).all(), name
+        assert np.abs(g).sum() > 0, name
+    # identity backbone: scene and semantic grads agree
+    np.testing.assert_allclose(grads["scene"], grads["semantic"],
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_saliency_and_new_plot_families(tmp_path):
+    from mst_tpu.evaluator import visualization as viz
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(48, 64, 3)).astype(np.float32)
+
+    # saliency
+    grad = rng.normal(size=(1, 48, 64, 3)).astype(np.float32)
+    ps = viz.plot_saliency_maps(img[None], grad, "loss saliency", "sal",
+                                out_dir=str(tmp_path / "sal"),
+                                best_point=(10, 12))
+    # feature space (+ diff evolution)
+    feats = {
+        ckpt: {"scene": {
+            "encoder_0": rng.normal(size=(2, 16, 16, 4)).astype(np.float32),
+            "goal_decoder_0": rng.normal(
+                size=(2, 8, 8, 4)).astype(np.float32),
+            "metaId": [11, 22]}}
+        for ckpt in ("OODG", "FT")}
+    pf = viz.plot_feature_space(feats, out_dir=str(tmp_path / "fs"))
+    pfe, csv_path = viz.plot_feature_space_diff_evolution(
+        feats, out_dir=str(tmp_path / "fsd"))
+    pd_ov = viz.plot_decoder_overlay(img, feats,
+                                     out_dir=str(tmp_path / "dec"))
+    # filters
+    params = {"encoder": {"stages": {"0": {"conv0": {
+        "weight": rng.normal(size=(3, 3, 4, 6)).astype(np.float32),
+        "bias": np.zeros(6, np.float32)}}}}}
+    params2 = {"encoder": {"stages": {"0": {"conv0": {
+        "weight": params["encoder"]["stages"]["0"]["conv0"]["weight"] + 0.1,
+        "bias": np.ones(6, np.float32)}}}}}
+    pflt = viz.plot_filters({"OODG": params, "FT": params2},
+                            out_dir=str(tmp_path / "filters"))
+    pfd = viz.plot_filters_diff_evolution(
+        {"OODG": params, "FT": params2}, out_dir=str(tmp_path / "fd"))
+    # activations
+    pact = viz.plot_activation(
+        {"encoder/0": rng.normal(size=(1, 16, 16, 4))},
+        out_dir=str(tmp_path / "act"), scene_img=img)
+    # overlays
+    gt = np.cumsum(rng.normal(size=(3, TOTAL_LEN, 2)), 1) + 20
+    po = viz.plot_obs_pred_trajs(
+        img, {"gt": gt, "FT": gt[:, 4:] + 1.0},
+        out_dir=str(tmp_path / "pred"), obs_len=4)
+    pm = viz.plot_multiple_predictions(
+        img, gt[0], gt[None, 0, 4:] + rng.normal(size=(5, 8, 2)),
+        out_dir=str(tmp_path / "pred"), obs_len=4)
+    pg = viz.plot_goal_map_with_samples(
+        img, rng.uniform(size=(48, 64)), {"FT": rng.uniform(0, 40, (4, 2))},
+        out_dir=str(tmp_path / "goal"))
+    dfp = pd.DataFrame({"x": rng.uniform(0, 64, 20),
+                        "y": rng.uniform(0, 48, 20),
+                        "metaId": np.repeat([1, 2], 10)})
+    pov = viz.plot_trajectories_scenes_overlay(
+        img, dfp, dfp, out_dir=str(tmp_path / "ov"))
+
+    import os
+    flat = (list(ps) + list(pf) + [pfe, csv_path] + list(pd_ov) + list(pflt)
+            + list(pfd) + list(pact) + [po, pm, pg, pov])
+    assert flat and all(os.path.exists(p) for p in flat)
+
+
+def test_create_few_shot_plot_from_csv_tree(tmp_path):
+    from mst_tpu.evaluator import visualization as viz
+
+    results = tmp_path / "csv" / "exp" / "mosa" / "eval"
+    for seed in ("1", "2"):
+        for num, ade in ((10, 3.0), (20, 2.5)):
+            d = results / "mosa_2" / seed
+            d.mkdir(parents=True, exist_ok=True)
+            pd.DataFrame({"ade": [ade + 0.1 * int(seed)]}).to_csv(
+                d / f"{num}.csv", index=False)
+    p = viz.create_few_shot_plot(str(results), str(tmp_path / "figs"))
+    import os
+    assert os.path.exists(p)
+
+
+def test_training_curve_extraction_and_plot(tmp_path):
+    from mst_tpu.evaluator import curves
+
+    def fake_run(name, seed, n, ade, fde):
+        lines = [f"Experiment {name} has started"]
+        for e in range(n):
+            lines.append(
+                f"Epoch {e}: \tTrain (Top-1) ADE: {10 - 0.1 * e:.2f} "
+                f"FDE: {12 - 0.1 * e:.2f} \t\tVal (Top-k) "
+                f"ADE: {9 - 0.05 * e:.2f} FDE: {11 - 0.05 * e:.2f}")
+        lines.append(f"Best epoch at {n - 2}")
+        lines.append(f"Average performance (by 3): \nTest ADE: {ade} "
+                     f"\nTest FDE: {fde}")
+        return "\n".join(lines)
+
+    log = "\n".join([
+        fake_run("Seed_1__filter_synth__mosa_2__Pos_0_1__TrN_20__lr_0.003",
+                 1, 12, 5.31, 9.87),
+        fake_run("Seed_2__filter_synth__train__TrN_40__lr_0.0005",
+                 2, 15, 4.9, 9.1)])
+    log_path = tmp_path / "train.out"
+    log_path.write_text(log)
+
+    runs = curves.split_runs(log)
+    assert len(runs) == 2
+    assert runs[0]["seed"] == 1 and runs[0]["ade"] == 5.31
+    assert runs[0]["position"] == "0_1"
+    assert len(runs[0]["curve"]) == 12 and runs[1]["n_train"] == 40
+
+    out, runs2 = curves.extract_and_plot(
+        [str(log_path)], str(tmp_path / "curve.png"), val_window=5,
+        show_raw_val=True, show_train=True)
+    import os
+    assert os.path.exists(out) and len(runs2) == 2
+
+    # history-mode moving average: trailing window
+    ma = curves.moving_average(np.arange(10.0), 3, box_loc="history")
+    np.testing.assert_allclose(ma[4], np.mean([2.0, 3.0, 4.0]))

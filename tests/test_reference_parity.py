@@ -423,3 +423,19 @@ def test_mosa_trainable_filter_matches_reference():
         {k: v.detach() for k, v in tmodel.state_dict().items()})
     ours = {k for k in flat if "lora" in k}
     assert len(ours) == len(ref_trainable)
+
+
+def test_moving_average_vs_reference(rng):
+    """curves.moving_average == reference moving_average for both modes
+    (extract_training_curve.py:10-29)."""
+    import utils.extract_training_curve as ref_curves
+
+    from mst_tpu.evaluator.curves import moving_average
+
+    x = rng.normal(size=40)
+    for box_loc in ("middle", "history"):
+        for window in (3, 9):
+            want = ref_curves.moving_average(x.copy(), window,
+                                             box_loc=box_loc)
+            got = moving_average(x, window, box_loc=box_loc)
+            np.testing.assert_allclose(got, want, rtol=1e-10)
