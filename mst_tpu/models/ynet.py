@@ -665,7 +665,8 @@ def pred_traj(params, features_with_waypoints, packed_finest=False):
 
 def make_shared_pred_traj(params, features, n_wp: int,
                           packed_finest: bool = False,
-                          features0_packed: bool = False):
+                          features0_packed: bool = False,
+                          return_packed: bool = False):
     """K-sample trajectory decoding with hoisted encoder contributions.
 
     The eval loop decodes K goal samples against the SAME encoder features
@@ -795,6 +796,11 @@ def make_shared_pred_traj(params, features, n_wp: int,
                 yq = packed_lib.packed_conv(yq, pk["b1_w"], pk["b1_b"])
                 yq = jax.nn.relu(yq)
                 yq = packed_lib.packed_conv(yq, pk["pred_w"], pk["pred_b"])
+                if return_packed:
+                    # caller consumes the packed layout directly (e.g.
+                    # ops.softargmax.softargmax2d_packed) — the full-res
+                    # volume is never materialized
+                    return yq
                 return packed_lib.depth_to_space(yq)
             x = upsample_bilinear_2x(x)
             x = layers.conv2d_apply(d["upsample"][str(i)], x)

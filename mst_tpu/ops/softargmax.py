@@ -50,6 +50,58 @@ def softargmax2d(logits_hw_last, eps: float = 1e-6):
     return jnp.stack([ex, ey], axis=-1)
 
 
+def softargmax2d_nhwc(logits_nhwc, eps: float = 1e-6):
+    """Soft-argmax directly on channels-last maps: (B, H, W, C) -> (B, C, 2).
+
+    Skips the (B, C, H, W) transpose the rows-based kernels need — at eval
+    the (K*B, H, W, pred) logits are ~0.7 GB/chunk, and the transpose alone
+    costs more than the reduction (measured on v5e). XLA fuses exp with the
+    three reductions into one HBM pass over the conv output's native layout.
+    """
+    x = jnp.asarray(logits_nhwc)
+    B, H, W, C = x.shape
+    x = x.astype(jnp.float32)
+    m = x.max(axis=(1, 2))  # (B, C)
+    e = jnp.exp(x - m[:, None, None, :])
+    s = e.sum(axis=(1, 2))
+    ex = jnp.einsum("bhwc,w->bc", e, jnp.arange(W, dtype=jnp.float32))
+    ey = jnp.einsum("bhwc,h->bc", e, jnp.arange(H, dtype=jnp.float32))
+    inv = 1.0 / (s + eps)
+    return jnp.stack([ex * inv, ey * inv], -1)
+
+
+def softargmax2d_packed(packed_nhwc, n_channels: int, eps: float = 1e-6):
+    """Soft-argmax on a space-to-depth PACKED map, no unpacking.
+
+    Input (B, H/2, W/2, 4C) with channel (si*2 + sj)*C + c
+    (ops.packed.space_to_depth layout); returns (B, C, 2) coordinates on
+    the FULL-resolution grid (x = 2*j + sj, y = 2*i + si). Lets the eval
+    decode keep its finest level packed end-to-end: the (K*B, H, W, pred)
+    volume is never materialized (VERDICT round-1 item; ~0.7 GB/chunk at
+    SDD scale, and the depth_to_space + transpose cost ~45% of the whole
+    decode program on v5e).
+    """
+    xq = jnp.asarray(packed_nhwc)
+    B, Hp, Wp, C4 = xq.shape
+    C = n_channels
+    assert C4 == 4 * C, (C4, C)
+    x = xq.reshape(B, Hp, Wp, 4, C).astype(jnp.float32)
+    m = x.max(axis=(1, 2, 3))  # (B, C)
+    e = jnp.exp(x - m[:, None, None, None, :])
+    s4 = e.sum(axis=(1, 2))  # (B, 4, C) per-subposition mass
+    jw = jnp.arange(Wp, dtype=jnp.float32)
+    ih = jnp.arange(Hp, dtype=jnp.float32)
+    ex4 = jnp.einsum("bhwkc,w->bkc", e, jw)
+    ey4 = jnp.einsum("bhwkc,h->bkc", e, ih)
+    sj = jnp.array([0.0, 1.0, 0.0, 1.0])
+    si = jnp.array([0.0, 0.0, 1.0, 1.0])
+    S = s4.sum(1)
+    X = (2.0 * ex4 + sj[None, :, None] * s4).sum(1)
+    Y = (2.0 * ey4 + si[None, :, None] * s4).sum(1)
+    inv = 1.0 / (S + eps)
+    return jnp.stack([X * inv, Y * inv], -1)
+
+
 def softargmax_on_prob_map(probs_hw_last):
     """Expected coordinate of an already-normalized probability map.
 

@@ -28,7 +28,8 @@ from mst_tpu.ops.heatmap import (rasterize_dist_nhwc,
 from mst_tpu.ops.kmeans import batched_kmeans
 from mst_tpu.ops.pooling import avg_pool_pyramid
 from mst_tpu.ops.sampling import sample_heatmap
-from mst_tpu.ops.softargmax import (softargmax2d, softargmax2d_auto,
+from mst_tpu.ops.softargmax import (softargmax2d, softargmax2d_nhwc,
+                                    softargmax2d_packed,
                                     softargmax_on_prob_map)
 from mst_tpu.train.freeze import merge_params
 from mst_tpu.train.losses import bce_with_logits
@@ -323,7 +324,7 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
         params = _compute_params(params, scfg)
         decode = ynet_lib.make_shared_pred_traj(
             params, features, n_wp, packed_finest=scfg.packed_decode,
-            features0_packed=pack0)
+            features0_packed=pack0, return_packed=scfg.packed_decode)
 
         def decode_chunk(waypoint_chunk):
             """(Kc, B, n_wp, 2) -> (Kc, B, pred_len, 2)."""
@@ -332,11 +333,15 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
             wmap = rasterize_dist_nhwc(flat, H, W, scfg.template_size)
             pyr = avg_pool_pyramid(wmap.astype(scfg.compute_dtype),
                                    len(features))
-            pred_map = decode(pyr)  # (Kc*B,H,W,pred)
-            # softargmax in f32 (exp-normalized expectation is precision-
-            # sensitive; the cast is fused into the preceding conv)
-            pts = softargmax2d_auto(
-                jnp.moveaxis(pred_map, -1, 1).astype(jnp.float32))
+            pred_map = decode(pyr)
+            # softargmax in f32, channels-last, transpose-free; the packed
+            # path never materializes the (Kc*B, H, W, pred) volume
+            # (~0.7 GB/chunk at SDD scale; DTS+transpose measured at ~45%
+            # of this program's time on v5e)
+            if scfg.packed_decode:
+                pts = softargmax2d_packed(pred_map, scfg.pred_len)
+            else:
+                pts = softargmax2d_nhwc(pred_map)
             return pts.reshape(Kc, B, scfg.pred_len, 2)
 
         Ktot, B = waypoint_samples.shape[0], waypoint_samples.shape[1]

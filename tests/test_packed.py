@@ -272,3 +272,63 @@ def test_packed_eval_forward_equivalence(rng):
             params, state, batch, jax.random.PRNGKey(7))
         outs[packed] = np.asarray(out["ade"])
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-3)
+
+
+def test_softargmax_nhwc_and_packed_match_rows(rng):
+    """Transpose-free NHWC and packed softargmax == the rows-based
+    softargmax2d, on peaked maps (the operating regime: trained logits)."""
+    import jax.numpy as jnp
+
+    from mst_tpu.ops.packed import space_to_depth
+    from mst_tpu.ops.softargmax import (softargmax2d, softargmax2d_nhwc,
+                                        softargmax2d_packed)
+
+    B, H, W, C = 3, 32, 48, 4
+    logits = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    # sharpen: put a clear peak per (b, c)
+    for b in range(B):
+        for c in range(C):
+            logits[b, rng.integers(0, H), rng.integers(0, W), c] += 12.0
+
+    want = np.asarray(softargmax2d(
+        jnp.moveaxis(jnp.asarray(logits), -1, 1)))
+    got_nhwc = np.asarray(softargmax2d_nhwc(jnp.asarray(logits)))
+    np.testing.assert_allclose(got_nhwc, want, rtol=1e-4, atol=1e-3)
+
+    packed = space_to_depth(jnp.asarray(logits))
+    got_packed = np.asarray(softargmax2d_packed(packed, C))
+    np.testing.assert_allclose(got_packed, want, rtol=1e-4, atol=1e-3)
+
+
+def test_shared_decoder_return_packed_equals_unpacked(rng):
+    """decode(return_packed=True) is exactly space_to_depth of the
+    unpacked decode output."""
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu.models import ynet as jynet
+    from mst_tpu.ops.packed import space_to_depth
+    from mst_tpu.ops.pooling import avg_pool_pyramid
+
+    cfg = jynet.YNetConfig(
+        obs_len=3, pred_len=4, n_semantic_classes=3,
+        encoder_channels=(8, 8, 16, 16, 16),
+        decoder_channels=(16, 16, 16, 8, 8), waypoints=(2,),
+        train_net="train", network="original")
+    params, state = jynet.init_ynet(jax.random.PRNGKey(0), cfg)
+    B, H, W = 2, 32, 64
+    scene = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    motion = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    feats, _ = jynet.pred_features(params, state, cfg, scene, motion)
+    wp = jnp.asarray(rng.uniform(size=(2 * B, H, W, 1)).astype(np.float32))
+    pyr = avg_pool_pyramid(wp, len(feats))
+
+    d_unpacked = jynet.make_shared_pred_traj(params, feats, 1,
+                                             packed_finest=True)
+    d_packed = jynet.make_shared_pred_traj(params, feats, 1,
+                                           packed_finest=True,
+                                           return_packed=True)
+    want = space_to_depth(d_unpacked(pyr))
+    got = d_packed(pyr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
