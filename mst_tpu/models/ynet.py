@@ -666,7 +666,8 @@ def pred_traj(params, features_with_waypoints, packed_finest=False):
 def make_shared_pred_traj(params, features, n_wp: int,
                           packed_finest: bool = False,
                           features0_packed: bool = False,
-                          return_packed: bool = False):
+                          return_packed: bool = False,
+                          wp_finest_packed: bool = False):
     """K-sample trajectory decoding with hoisted encoder contributions.
 
     The eval loop decodes K goal samples against the SAME encoder features
@@ -786,7 +787,11 @@ def make_shared_pred_traj(params, features, n_wp: int,
                 # resolution, so the whole finest level runs here
                 xq = packed_lib.packed_upsample_2x(x, pk["up_fixed"])
                 xq = packed_lib.packed_conv(xq, pk["up_w"], pk["up_b"])
-                wpq = packed_lib.space_to_depth(wp_rev[i + 1])
+                # wp_finest_packed: the pyramid's finest entry arrives
+                # already in packed layout (ops.heatmap.rasterize_dist_packed
+                # + pyramid_from_packed) — no full-res map exists
+                wpq = (wp_rev[i + 1] if wp_finest_packed
+                       else packed_lib.space_to_depth(wp_rev[i + 1]))
                 yq = (packed_lib.packed_conv(xq, pk["b0_up"])
                       + tile(pk["enc"], KB)
                       + packed_lib.packed_conv(wpq, pk["b0_wp"]))

@@ -165,6 +165,53 @@ def rasterize_dist_nhwc(points, H: int, W: int, template_size: int):
     return jnp.sqrt(d2) * scale
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def rasterize_dist_packed(points, H: int, W: int, template_size: int):
+    """Distance rasterizer emitting the space-to-depth PACKED layout.
+
+    (B, T, 2) -> (B, H/2, W/2, 4T) with channel (si*2 + sj)*T + t, equal to
+    ops.packed.space_to_depth(rasterize_dist_nhwc(...)). The eval decode's
+    finest level runs packed end-to-end, so rasterizing straight into the
+    packed layout removes the full-resolution (K*B, H, W, T) C-minor tensor
+    and its space_to_depth copy from the program entirely.
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    x = jnp.round(pts[..., 0])  # (B, T)
+    y = jnp.round(pts[..., 1])
+    scale = 2.0 / dist_template_scale(template_size)
+    Hp, Wp = H // 2, W // 2
+    rows = jnp.arange(H, dtype=jnp.float32).reshape(Hp, 2)  # [ih, si]
+    cols = jnp.arange(W, dtype=jnp.float32).reshape(Wp, 2)  # [jw, sj]
+    dy2 = (rows[None, :, :, None] - y[:, None, None, :]) ** 2  # (B,Hp,2,T)
+    dx2 = (cols[None, :, :, None] - x[:, None, None, :]) ** 2  # (B,Wp,2,T)
+    d2 = (dy2[:, :, None, :, None, :]
+          + dx2[:, None, :, None, :, :])  # (B, Hp, Wp, si, sj, T)
+    B, T = x.shape
+    return (jnp.sqrt(d2) * scale).reshape(B, Hp, Wp, 4 * T)
+
+
+def pyramid_from_packed(packed, n_levels: int):
+    """Waypoint pyramid whose FINEST entry is the packed map itself.
+
+    avg-pool-2x2 of the full-res map == the mean over the 4 packed
+    sub-channels, so level 1 is a cheap channel reduction and deeper levels
+    pool from it; the full-res map never exists. Returns
+    [packed (B,H/2,W/2,4T), (B,H/2,W/2,T), (B,H/4,W/4,T), ...] with
+    n_levels entries, matching avg_pool_pyramid's contents from level 1 on.
+    """
+    from mst_tpu.ops.pooling import avg_pool_2x2
+
+    B, Hp, Wp, C4 = packed.shape
+    T = C4 // 4
+    lvl1 = packed.reshape(B, Hp, Wp, 4, T).mean(axis=3)
+    pyr = [packed, lvl1]
+    x = lvl1
+    for _ in range(n_levels - 2):
+        x = avg_pool_2x2(x)
+        pyr.append(x)
+    return pyr
+
+
 def trajectory_heatmaps(traj, H: int, W: int, template_size: int):
     """Observed-trajectory input heatmaps: (B, T, 2) -> (B, H, W, T) NHWC."""
     return rasterize_dist_nhwc(traj, H, W, template_size)

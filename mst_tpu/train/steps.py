@@ -23,7 +23,8 @@ import numpy as np
 import optax
 
 from mst_tpu.models import ynet as ynet_lib
-from mst_tpu.ops.heatmap import (rasterize_dist_nhwc,
+from mst_tpu.ops.heatmap import (pyramid_from_packed, rasterize_dist_nhwc,
+                                 rasterize_dist_packed,
                                  rasterize_gaussian_nhwc)
 from mst_tpu.ops.kmeans import batched_kmeans
 from mst_tpu.ops.pooling import avg_pool_pyramid
@@ -324,15 +325,23 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
         params = _compute_params(params, scfg)
         decode = ynet_lib.make_shared_pred_traj(
             params, features, n_wp, packed_finest=scfg.packed_decode,
-            features0_packed=pack0, return_packed=scfg.packed_decode)
+            features0_packed=pack0, return_packed=scfg.packed_decode,
+            wp_finest_packed=scfg.packed_decode)
 
         def decode_chunk(waypoint_chunk):
             """(Kc, B, n_wp, 2) -> (Kc, B, pred_len, 2)."""
             Kc, B = waypoint_chunk.shape[0], waypoint_chunk.shape[1]
             flat = waypoint_chunk.reshape(Kc * B, n_wp, 2)
-            wmap = rasterize_dist_nhwc(flat, H, W, scfg.template_size)
-            pyr = avg_pool_pyramid(wmap.astype(scfg.compute_dtype),
-                                   len(features))
+            if scfg.packed_decode:
+                # rasterize straight into the packed layout; the full-res
+                # (Kc*B, H, W, n_wp) waypoint map never exists
+                wpq = rasterize_dist_packed(flat, H, W, scfg.template_size)
+                pyr = pyramid_from_packed(wpq.astype(scfg.compute_dtype),
+                                          len(features))
+            else:
+                wmap = rasterize_dist_nhwc(flat, H, W, scfg.template_size)
+                pyr = avg_pool_pyramid(wmap.astype(scfg.compute_dtype),
+                                       len(features))
             pred_map = decode(pyr)
             # softargmax in f32, channels-last, transpose-free; the packed
             # path never materializes the (Kc*B, H, W, pred) volume

@@ -332,3 +332,25 @@ def test_shared_decoder_return_packed_equals_unpacked(rng):
     got = d_packed(pyr)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_rasterize_dist_packed_matches_unpacked(rng):
+    from mst_tpu.ops.heatmap import (pyramid_from_packed,
+                                     rasterize_dist_nhwc,
+                                     rasterize_dist_packed)
+    from mst_tpu.ops.pooling import avg_pool_pyramid
+
+    B, T, H, W = 5, 3, 64, 96
+    pts = rng.uniform(5, 60, size=(B, T, 2)).astype(np.float32)
+    full = rasterize_dist_nhwc(jnp.asarray(pts), H, W, 200)
+    packed = rasterize_dist_packed(jnp.asarray(pts), H, W, 200)
+    np.testing.assert_allclose(np.asarray(packed),
+                               np.asarray(P.space_to_depth(full)),
+                               rtol=1e-6, atol=1e-6)
+
+    pyr_ref = avg_pool_pyramid(full, 5)
+    pyr_got = pyramid_from_packed(packed, 5)
+    assert len(pyr_got) == 5
+    for a, b in zip(pyr_got[1:], pyr_ref[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
