@@ -1,0 +1,98 @@
+"""Multi-host input pipeline (pod-readiness).
+
+The reference is single-process (SURVEY §2.3); on a pod every host must
+feed only its slice of the global batch while the compiled step sees one
+global jax.Array per input. Three pieces:
+
+- ``local_slice``: which rows of a global batch this host owns (contiguous
+  block partition of the 'data' axis, matching NamedSharding(P('data'))
+  device order across processes);
+- ``shard_batch_global``: assemble global arrays from process-local data
+  (``jax.make_array_from_process_local_data``) — per-trajectory arrays
+  shard over 'data', scene-level arrays replicate;
+- ``prefetch_to_device``: a double-buffered iterator that enqueues the
+  next batch's host->device transfers while the current step computes
+  (device_put is async; depth 2 is enough to hide H2D on ICI-fed chips).
+
+Single-process meshes degrade gracefully: local == global and
+shard_batch_global matches mesh.shard_batch bit-for-bit.
+"""
+
+import collections
+
+import numpy as np
+
+import jax
+
+from mst_tpu.parallel.mesh import data_sharding, replicated
+
+# scene-level keys replicate; everything else shards over 'data' on axis 0
+REPLICATED_KEYS = ("semantic", "image", "homography")
+
+
+def local_slice(n_global: int, process_index=None, process_count=None):
+    """Rows [lo, hi) of a length-n_global batch axis owned by this host.
+
+    Contiguous block partition: NamedSharding(P('data')) lays shards out in
+    device order, and jax.Array assembles per-process blocks in
+    process-index order, so host h owns block h. n_global must divide by
+    process_count (pad_batch_to_multiple guarantees it).
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    assert n_global % pc == 0, (n_global, pc)
+    per = n_global // pc
+    return pi * per, (pi + 1) * per
+
+
+def take_local(batch: dict, process_index=None, process_count=None):
+    """Slice a host-materialized global batch down to this host's rows
+    (scene-level arrays kept whole). On a real pod each host would only
+    *load* its rows; this helper is the contract for that loader."""
+    n = batch["traj"].shape[0]
+    lo, hi = local_slice(n, process_index, process_count)
+    out = {}
+    for k, v in batch.items():
+        out[k] = v if k in REPLICATED_KEYS else v[lo:hi]
+    return out
+
+
+def shard_batch_global(mesh, local_batch: dict, global_batch_size=None):
+    """Process-local rows -> global jax.Arrays on the mesh.
+
+    Every process calls this with ITS rows of the batch; the returned
+    arrays are globally-sharded (data axis) / replicated (scene arrays)
+    without any host ever materializing the full global batch.
+    """
+    if mesh is None:
+        return local_batch
+    ds = data_sharding(mesh)
+    rep = replicated(mesh)
+    out = {}
+    for k, v in local_batch.items():
+        v = np.asarray(v)
+        sh = rep if k in REPLICATED_KEYS else ds
+        out[k] = jax.make_array_from_process_local_data(sh, v)
+    return out
+
+
+def prefetch_to_device(batches, put, depth: int = 2):
+    """Double-buffered transfer: `put` (e.g. a shard_batch closure) runs
+    `depth` batches ahead of the consumer, overlapping H2D with compute.
+
+    `batches` is any iterable of host batches; yields device batches in
+    order.
+    """
+    queue = collections.deque()
+    it = iter(batches)
+    try:
+        while len(queue) < depth:
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    for batch in it:
+        out = queue.popleft()
+        queue.append(put(batch))
+        yield out
+    while queue:
+        yield queue.popleft()

@@ -23,6 +23,7 @@ from mst_tpu.data import images as images_lib
 from mst_tpu.data import scenes as scenes_lib
 from mst_tpu.models import segmentation as seg_lib
 from mst_tpu.models import ynet as ynet_lib
+from mst_tpu.parallel import hostdata
 from mst_tpu.parallel import mesh as mesh_lib
 from mst_tpu.train import checkpoints as ckpt_lib
 from mst_tpu.train import freeze as freeze_lib
@@ -343,10 +344,15 @@ class Experiment:
             seg_cache = {}
             rng.shuffle(train_batches)
             ade_sum = fde_sum = loss_sum = n_sum = 0.0
-            for batch in train_batches:
-                semantic = self._semantic_for(
-                    batch, seg_cache, raw=segment_in_step or in_unfreeze)
-                db = self._device_batch(batch, semantic)
+            raw_sem = segment_in_step or in_unfreeze
+
+            def make_db(batch):
+                return self._device_batch(
+                    batch, self._semantic_for(batch, seg_cache, raw=raw_sem))
+
+            # double-buffered host->device transfer (parallel/hostdata.py):
+            # batch i+1's device_puts are enqueued while step i computes
+            for db in hostdata.prefetch_to_device(train_batches, make_db):
                 trainable, state, opt_state, metrics = step(
                     trainable, frozen, state, opt_state, db)
                 ade_sum += float(metrics["ade_sum"])
@@ -519,9 +525,12 @@ class Experiment:
         ade_sum = fde_sum = n_sum = 0.0
         rows = []
         trajs = {"prediction": [], "metaId": []} if collect_preds else None
-        for i, batch in enumerate(batches):
-            semantic = self._semantic_for(batch, seg_cache)
-            db = self._device_batch(batch, semantic)
+        def make_db(batch):
+            return self._device_batch(batch,
+                                      self._semantic_for(batch, seg_cache))
+
+        for i, (batch, db) in enumerate(zip(
+                batches, hostdata.prefetch_to_device(batches, make_db))):
             out = eval_step(self.model_params, self.model_state, db,
                             jax.random.fold_in(key, i))
             m = np.asarray(out["mask"]).astype(bool)

@@ -89,3 +89,81 @@ def test_batch_padding_to_mesh_multiple():
     out = mesh_lib.pad_batch_to_multiple(batch, 8)
     assert out["traj"].shape[0] == 8
     assert out["mask"].sum() == 5
+
+
+# ---------------------------------------------------------------------------
+# multi-host input pipeline (parallel/hostdata.py), CPU-simulated
+# ---------------------------------------------------------------------------
+
+def test_local_slice_partitions_cover_batch():
+    from mst_tpu.parallel import hostdata
+
+    n, pc = 32, 4
+    slices = [hostdata.local_slice(n, pi, pc) for pi in range(pc)]
+    assert slices[0] == (0, 8) and slices[-1] == (24, 32)
+    covered = sorted(i for lo, hi in slices for i in range(lo, hi))
+    assert covered == list(range(n))
+
+
+def test_take_local_keeps_scene_arrays_whole():
+    from mst_tpu.parallel import hostdata
+
+    batch = {"traj": np.arange(16 * 4).reshape(16, 2, 2).astype(np.float32),
+             "mask": np.ones(16, np.float32),
+             "semantic": np.ones((1, 8, 8, 3), np.float32)}
+    local = hostdata.take_local(batch, process_index=1, process_count=4)
+    assert local["traj"].shape[0] == 4
+    np.testing.assert_array_equal(local["traj"], batch["traj"][4:8])
+    assert local["semantic"].shape == batch["semantic"].shape
+
+
+def test_shard_batch_global_matches_shard_batch():
+    """Single-process: make_array_from_process_local_data assembly equals
+    the plain device_put path bit-for-bit, with the same shardings."""
+    from mst_tpu.parallel import hostdata
+
+    mesh = mesh_lib.make_mesh((8,))
+    rng = np.random.default_rng(0)
+    batch = {"traj": rng.normal(size=(16, TOTAL_LEN, 2)).astype(np.float32),
+             "mask": np.ones(16, np.float32),
+             "semantic": rng.normal(size=(1, 32, 32, 3)).astype(np.float32)}
+    local = hostdata.take_local(batch)  # process_count=1 -> identity
+    got = hostdata.shard_batch_global(mesh, local)
+    want = mesh_lib.shard_batch(mesh, batch)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]))
+        assert got[k].sharding == want[k].sharding, k
+
+
+def test_prefetch_to_device_order_and_lookahead():
+    from mst_tpu.parallel import hostdata
+
+    calls = []
+
+    def put(x):
+        calls.append(x)
+        return x * 10
+
+    out = []
+    lookahead = []
+    for y in hostdata.prefetch_to_device(list(range(6)), put, depth=2):
+        out.append(y)
+        lookahead.append(len(calls))
+    assert out == [0, 10, 20, 30, 40, 50]
+    # when batch i is yielded, batch i+1's transfer is already enqueued
+    assert lookahead[0] >= 3 and lookahead[2] >= 5
+
+
+def test_sharded_training_with_prefetch_runs(tmp_path):
+    """End-to-end Experiment.train on the 8-device mesh goes through the
+    prefetching loop and stays finite."""
+    df, images = make_synthetic_dataset(seed=0, n_scenes=2, n_traj=8,
+                                        total_len=TOTAL_LEN)
+    ids = df.metaId.unique()
+    mesh = mesh_lib.make_mesh((8,))
+    exp = Experiment(_params(tmp_path), images=images, mesh=mesh)
+    val_ade, val_fde = exp.train(df[df.metaId.isin(ids[:12])],
+                                 df[df.metaId.isin(ids[12:])],
+                                 None, None, "prefetch_e2e")
+    assert np.isfinite(val_ade).all() and np.isfinite(val_fde).all()
