@@ -497,7 +497,8 @@ def _decoder_init(key, cfg: YNetConfig, traj: int | bool = False):
 
 
 def _decoder_apply(params, features, packed_finest: bool = False,
-                   features0_packed: bool = False):
+                   features0_packed: bool = False,
+                   return_packed: bool = False):
     """YNetDecoder.forward (ynet.py:453-471); features NHWC, coarsest last.
 
     packed_finest runs the finest (full-resolution) level space-to-depth
@@ -549,6 +550,8 @@ def _decoder_apply(params, features, packed_finest: bool = False,
                 yq, packed_lib.pack_conv1x1_kernel(pred["weight"]),
                 packed_lib.pack_bias(pred["bias"]) if "bias" in pred
                 else None)
+            if return_packed:
+                return yq
             return packed_lib.depth_to_space(yq)
         x = upsample_bilinear_2x(x)
         x = layers.conv2d_apply(params["upsample"][str(i)], x)
@@ -651,10 +654,11 @@ def pred_features(params, state, cfg: YNetConfig, scene_map, motion_map,
 
 
 def pred_goal(params, features, packed_finest=False,
-              features0_packed=False):
-    """(B,H,W,pred_len) goal/waypoint heatmap logits."""
+              features0_packed=False, return_packed=False):
+    """(B,H,W,pred_len) goal/waypoint heatmap logits (or the packed
+    (B,H/2,W/2,4*pred_len) layout with return_packed)."""
     return _decoder_apply(params["goal_decoder"], features, packed_finest,
-                          features0_packed)
+                          features0_packed, return_packed)
 
 
 def pred_traj(params, features_with_waypoints, packed_finest=False):

@@ -190,6 +190,35 @@ def rasterize_dist_packed(points, H: int, W: int, template_size: int):
     return (jnp.sqrt(d2) * scale).reshape(B, Hp, Wp, 4 * T)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def rasterize_gaussian_packed(points, H: int, W: int, kernlen: int = 31,
+                              nsig: float = 4.0):
+    """Gaussian rasterizer emitting the space-to-depth PACKED layout.
+
+    (B, T, 2) -> (B, H/2, W/2, 4T), equal to
+    ops.packed.space_to_depth(rasterize_gaussian_nhwc(...)). Lets the train
+    step compute the BCE loss against the packed prediction directly (the
+    masked mean is layout-invariant), never materializing full-res maps.
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    x = jnp.round(pts[..., 0])  # (B, T)
+    y = jnp.round(pts[..., 1])
+    half = (kernlen - 1) // 2
+    inv_two_sig2 = 0.5 / (nsig**2)
+    norm = gaussian_template_normalizer(kernlen, nsig)
+    Hp, Wp = H // 2, W // 2
+    rows = jnp.arange(H, dtype=jnp.float32).reshape(Hp, 2)  # [ih, si]
+    cols = jnp.arange(W, dtype=jnp.float32).reshape(Wp, 2)  # [jw, sj]
+    dy = rows[None, :, :, None] - y[:, None, None, :]  # (B, Hp, 2, T)
+    dx = cols[None, :, :, None] - x[:, None, None, :]  # (B, Wp, 2, T)
+    gy = jnp.exp(-inv_two_sig2 * dy * dy) * (jnp.abs(dy) <= half)
+    gx = jnp.exp(-inv_two_sig2 * dx * dx) * (jnp.abs(dx) <= half)
+    g = (gy[:, :, None, :, None, :]
+         * gx[:, None, :, None, :, :]) / norm  # (B, Hp, Wp, si, sj, T)
+    B, T = x.shape
+    return g.reshape(B, Hp, Wp, 4 * T)
+
+
 def pyramid_from_packed(packed, n_levels: int):
     """Waypoint pyramid whose FINEST entry is the packed map itself.
 

@@ -25,7 +25,8 @@ import optax
 from mst_tpu.models import ynet as ynet_lib
 from mst_tpu.ops.heatmap import (pyramid_from_packed, rasterize_dist_nhwc,
                                  rasterize_dist_packed,
-                                 rasterize_gaussian_nhwc)
+                                 rasterize_gaussian_nhwc,
+                                 rasterize_gaussian_packed)
 from mst_tpu.ops.kmeans import batched_kmeans
 from mst_tpu.ops.pooling import avg_pool_pyramid
 from mst_tpu.ops.sampling import sample_heatmap
@@ -155,6 +156,8 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
     """
     waypoints = jnp.asarray(scfg.waypoints)
     pack0 = bool(scfg.packed_decode) and ynet_lib.can_pack_stage0(mcfg)
+    # encoder emits one feature per stage + the final pool
+    L_FEATS = len(mcfg.encoder_channels) + 1
 
     def loss_fn(trainable, frozen, state, batch):
         params = _compute_params(merge_params(trainable, frozen), scfg)
@@ -168,11 +171,26 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
             if isinstance(state, dict) else None)
 
         gt_future = traj[:, scfg.obs_len:]
-        gt_future_map = rasterize_gaussian_nhwc(
-            gt_future, H, W, scfg.kernlen, scfg.nsig)  # (B,H,W,pred)
         gt_waypoints = gt_future[:, waypoints]
-        gt_waypoint_map = rasterize_dist_nhwc(gt_waypoints, H, W,
+        packed = bool(scfg.packed_decode)
+        if packed:
+            # finest level fully packed: gt maps are rasterized straight
+            # into the packed layout and BCE runs on it — the masked mean
+            # is layout-invariant, so the loss is the same function while
+            # no full-resolution (B, H, W, pred) tensor ever exists
+            gt_future_map = rasterize_gaussian_packed(
+                gt_future, H, W, scfg.kernlen, scfg.nsig)
+            wp_finest = rasterize_dist_packed(gt_waypoints, H, W,
                                               scfg.template_size)
+            wp_pyramid = pyramid_from_packed(
+                wp_finest.astype(scfg.compute_dtype), L_FEATS)
+        else:
+            gt_future_map = rasterize_gaussian_nhwc(
+                gt_future, H, W, scfg.kernlen, scfg.nsig)  # (B,H,W,pred)
+            gt_waypoint_map = rasterize_dist_nhwc(gt_waypoints, H, W,
+                                                  scfg.template_size)
+            wp_pyramid = avg_pool_pyramid(
+                gt_waypoint_map.astype(scfg.compute_dtype), L_FEATS)
 
         features, new_state = ynet_lib.pred_features(
             params, state, mcfg, semantic, observed_map, train=True,
@@ -182,27 +200,34 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
                          "segmentation_bn": seg_updates}
         # logits back to f32: BCE/softargmax stay full precision
         pred_goal_map = ynet_lib.pred_goal(
-            params, features, scfg.packed_decode, pack0).astype(jnp.float32)
+            params, features, scfg.packed_decode, pack0,
+            return_packed=packed).astype(jnp.float32)
         goal_loss = bce_with_logits(pred_goal_map, gt_future_map,
                                     mask) * scfg.loss_scale
 
-        wp_pyramid = avg_pool_pyramid(
-            gt_waypoint_map.astype(scfg.compute_dtype), len(features))
         # trajectory decode in the split (shared) form — identical function
         # to conv-over-concat (tested), and it accepts packed features[0]
         decode = ynet_lib.make_shared_pred_traj(
             params, features, len(scfg.waypoints),
-            packed_finest=scfg.packed_decode, features0_packed=pack0)
+            packed_finest=scfg.packed_decode, features0_packed=pack0,
+            return_packed=packed, wp_finest_packed=packed)
         pred_traj_map = decode(wp_pyramid).astype(jnp.float32)
         traj_loss = bce_with_logits(pred_traj_map, gt_future_map,
                                     mask) * scfg.loss_scale
         loss = goal_loss + traj_loss
 
         # top-1 softargmax train metrics (train_epoch.py:117-126)
-        pred_traj_pts = softargmax2d(
-            jnp.moveaxis(pred_traj_map, -1, 1))  # (B,pred,2)
-        pred_goal_pts = softargmax2d(
-            jnp.moveaxis(pred_goal_map[..., -1:], -1, 1))  # (B,1,2)
+        if packed:
+            pred_traj_pts = softargmax2d_packed(pred_traj_map,
+                                                scfg.pred_len)
+            # last waypoint channel across the 4 sub-positions
+            last = jnp.stack([pred_goal_map[..., k * scfg.pred_len
+                                            + scfg.pred_len - 1]
+                              for k in range(4)], axis=-1)
+            pred_goal_pts = softargmax2d_packed(last, 1)
+        else:
+            pred_traj_pts = softargmax2d_nhwc(pred_traj_map)
+            pred_goal_pts = softargmax2d_nhwc(pred_goal_map[..., -1:])
         ade = jnp.sqrt((((gt_future - pred_traj_pts) / scfg.resize_factor)
                         ** 2).sum(-1)).mean(-1)
         fde = jnp.sqrt((((gt_future[:, -1:] - pred_goal_pts[:, -1:])

@@ -354,3 +354,50 @@ def test_rasterize_dist_packed_matches_unpacked(rng):
     for a, b in zip(pyr_got[1:], pyr_ref[1:]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_train_loss_packed_equals_unpacked(rng):
+    """The fully-packed train step (packed gt rasterizers + packed BCE +
+    packed softargmax metrics) computes the same loss and metrics as the
+    unpacked one — BCE's masked mean is layout-invariant."""
+    import optax
+
+    from mst_tpu.models import ynet as jynet
+    from mst_tpu.train import freeze as freeze_lib
+    from mst_tpu.train import steps as steps_lib
+
+    cfg = jynet.YNetConfig(
+        obs_len=4, pred_len=6, n_semantic_classes=3,
+        encoder_channels=(8, 8, 16, 16, 16),
+        decoder_channels=(16, 16, 16, 8, 8), waypoints=(5,),
+        train_net="train", network="original")
+    params, state = jynet.init_ynet(jax.random.PRNGKey(0), cfg)
+    mask = freeze_lib.trainable_mask(params, "train", ())
+    trainable, frozen = freeze_lib.split_params(params, mask)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(trainable)
+
+    B, H, W = 4, 64, 96
+    batch = {
+        "semantic": jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, H, W, 3))
+            .astype(np.float32)),
+        "traj": jnp.asarray(np.random.default_rng(1).uniform(
+            10, 50, size=(B, 10, 2)).astype(np.float32)),
+        "mask": jnp.ones(B, jnp.float32),
+    }
+
+    def scfg(packed):
+        return steps_lib.StepConfig(
+            obs_len=4, pred_len=6, waypoints=(5,), template_size=200,
+            kernlen=31, nsig=4.0, loss_scale=1000.0, resize_factor=0.25,
+            temperature=1.0, n_goal=3, n_traj=1, packed_decode=packed)
+
+    outs = {}
+    for packed in (False, True):
+        step = steps_lib.make_train_step(cfg, scfg(packed), opt)
+        _, _, _, metrics = step(trainable, frozen, state, opt_state, batch)
+        outs[packed] = jax.tree.map(np.asarray, metrics)
+    for k in outs[False]:
+        np.testing.assert_allclose(outs[True][k], outs[False][k],
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
