@@ -144,6 +144,12 @@ def measure_jax(n_iter=20, compute_dtype="float32"):
              "mask": np.ones(B, np.float32)}
     batch = jax.tree.map(jax.numpy.asarray, batch)
 
+    # MFU accounting uses the UNPACKED programs' FLOPs: space-to-depth
+    # packing multiplies 2.25x structural zeros for lane utilization, and
+    # counting those would flatter the efficiency number. "useful FLOPs"
+    # = what the algorithm mathematically requires.
+    scfg_unpacked = scfg._replace(packed_decode=False)
+
     # ---- eval throughput
     eval_step = steps_lib.make_eval_step(mcfg, scfg)
     key = jax.random.PRNGKey(0)
@@ -155,12 +161,13 @@ def measure_jax(n_iter=20, compute_dtype="float32"):
     jax.block_until_ready(out["ade"])
     eval_tps = B * n_iter / (time.perf_counter() - t0)
 
-    # FLOPs of the two eval sub-programs (XLA cost analysis of the exact
-    # compiled code, so the K-hoisting/packing savings are reflected)
-    feats, wps = eval_step.forward(params, state, batch, key)
+    # useful FLOPs from the unpacked variant of the same two programs
+    # (XLA cost analysis of compiled code; K-hoisting savings reflected)
+    eval_ref = steps_lib.make_eval_step(mcfg, scfg_unpacked)
+    feats, wps = eval_ref.forward(params, state, batch, key)
     hom = jnp.eye(3, dtype=jnp.float32)
-    fwd_flops = _program_flops(eval_step.forward, params, state, batch, key)
-    dec_flops = _program_flops(eval_step.decode_and_score, params, feats,
+    fwd_flops = _program_flops(eval_ref.forward, params, state, batch, key)
+    dec_flops = _program_flops(eval_ref.decode_and_score, params, feats,
                                wps, batch["traj"], batch["mask"], hom)
     eval_flops = ((fwd_flops + dec_flops)
                   if fwd_flops and dec_flops else None)
@@ -175,7 +182,8 @@ def measure_jax(n_iter=20, compute_dtype="float32"):
     trainable, state2, opt_state, metrics = train_step(
         trainable, frozen, state, opt_state, batch)  # compile
     jax.block_until_ready(metrics["loss"])
-    train_flops = _program_flops(train_step, trainable, frozen, state,
+    train_ref = steps_lib.make_train_step(mcfg, scfg_unpacked, optimizer)
+    train_flops = _program_flops(train_ref, trainable, frozen, state,
                                  opt_state, batch)
     t0 = time.perf_counter()
     for _ in range(n_iter):

@@ -732,6 +732,13 @@ def make_shared_pred_traj(params, features, n_wp: int,
         from mst_tpu.ops import packed as packed_lib
 
         i_last = L - 2
+        # second-finest level: also C_out <= 32 on SDD/inD shapes -> pack it
+        # too (runs at quarter res with 4x channels; one depth_to_space
+        # bridges into the finest packed level)
+        i3 = L - 3
+        deep_packed = (
+            L >= 4
+            and d["blocks"][str(i3)]["1"]["weight"].shape[-1] <= 32)
         up_p = d["upsample"][str(i_last)]
         b0_p = d["blocks"][str(i_last)]["0"]
         b1_p = d["blocks"][str(i_last)]["1"]
@@ -767,6 +774,32 @@ def make_shared_pred_traj(params, features, n_wp: int,
         else:
             pk["enc"] = packed_lib.space_to_depth(block_enc[i_last])
 
+        if deep_packed:
+            up3 = d["upsample"][str(i3)]
+            b03 = d["blocks"][str(i3)]["0"]
+            b13 = d["blocks"][str(i3)]["1"]
+            cin3 = up3["weight"].shape[2]
+            lo3 = up_out[i3]
+            hi3 = lo3 + enc_ch[i3 + 1]
+            pk3 = {
+                "up_fixed": jnp.asarray(
+                    packed_lib.packed_upsample_kernel(cin3)),
+                "up_w": packed_lib.pack_conv3x3_kernel(up3["weight"]),
+                "up_b": (packed_lib.pack_bias(up3["bias"])
+                         if "bias" in up3 else None),
+                "b0_up": packed_lib.pack_conv3x3_kernel(
+                    b03["weight"][:, :, :lo3, :]),
+                "b0_wp": packed_lib.pack_conv3x3_kernel(
+                    b03["weight"][:, :, hi3:hi3 + n_wp, :]),
+                "b0_b": (packed_lib.pack_bias(b03["bias"])
+                         if "bias" in b03 else None),
+                "b1_w": packed_lib.pack_conv3x3_kernel(b13["weight"]),
+                "b1_b": (packed_lib.pack_bias(b13["bias"])
+                         if "bias" in b13 else None),
+                # K-invariant enc contribution, repacked once per batch
+                "enc": packed_lib.space_to_depth(block_enc[i3]),
+            }
+
     def tile(x, KB):
         reps = KB // B
         return jnp.broadcast_to(x[None], (reps,) + x.shape).reshape(
@@ -784,6 +817,27 @@ def make_shared_pred_traj(params, features, n_wp: int,
         x = jax.nn.relu(x)
         x = jax.nn.relu(layers.conv2d_apply(d["center"]["1"], x))
         for i in range(L - 1):
+            if packed_finest and deep_packed and i == L - 3:
+                from mst_tpu.ops import packed as packed_lib
+
+                # second-finest level in packed space: x is at quarter the
+                # finest resolution; packed space of the half-res grid IS
+                # this resolution
+                xq3 = packed_lib.packed_upsample_2x(x, pk3["up_fixed"])
+                xq3 = packed_lib.packed_conv(xq3, pk3["up_w"], pk3["up_b"])
+                wpq3 = packed_lib.space_to_depth(wp_rev[i + 1])
+                yq3 = (packed_lib.packed_conv(xq3, pk3["b0_up"])
+                       + tile(pk3["enc"], KB)
+                       + packed_lib.packed_conv(wpq3, pk3["b0_wp"]))
+                if pk3["b0_b"] is not None:
+                    yq3 = yq3 + pk3["b0_b"]
+                yq3 = jax.nn.relu(yq3)
+                yq3 = packed_lib.packed_conv(yq3, pk3["b1_w"], pk3["b1_b"])
+                yq3 = jax.nn.relu(yq3)
+                # bridge into the finest packed level (which upsamples from
+                # the real half-res grid)
+                x = packed_lib.depth_to_space(yq3)
+                continue
             if packed_finest and i == L - 2:
                 from mst_tpu.ops import packed as packed_lib
 
