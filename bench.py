@@ -161,17 +161,6 @@ def measure_jax(n_iter=20, compute_dtype="float32"):
     jax.block_until_ready(out["ade"])
     eval_tps = B * n_iter / (time.perf_counter() - t0)
 
-    # useful FLOPs from the unpacked variant of the same two programs
-    # (XLA cost analysis of compiled code; K-hoisting savings reflected)
-    eval_ref = steps_lib.make_eval_step(mcfg, scfg_unpacked)
-    feats, wps = eval_ref.forward(params, state, batch, key)
-    hom = jnp.eye(3, dtype=jnp.float32)
-    fwd_flops = _program_flops(eval_ref.forward, params, state, batch, key)
-    dec_flops = _program_flops(eval_ref.decode_and_score, params, feats,
-                               wps, batch["traj"], batch["mask"], hom)
-    eval_flops = ((fwd_flops + dec_flops)
-                  if fwd_flops and dec_flops else None)
-
     # ---- LoRA fine-tune step throughput
     mask = freeze_lib.trainable_mask(params, "mosa_2",
                                      ["0", "1", "2", "3", "4"])
@@ -182,15 +171,27 @@ def measure_jax(n_iter=20, compute_dtype="float32"):
     trainable, state2, opt_state, metrics = train_step(
         trainable, frozen, state, opt_state, batch)  # compile
     jax.block_until_ready(metrics["loss"])
-    train_ref = steps_lib.make_train_step(mcfg, scfg_unpacked, optimizer)
-    train_flops = _program_flops(train_ref, trainable, frozen, state,
-                                 opt_state, batch)
     t0 = time.perf_counter()
     for _ in range(n_iter):
         trainable, state2, opt_state, metrics = train_step(
             trainable, frozen, state2, opt_state, batch)
     jax.block_until_ready(metrics["loss"])
     train_tps = B * n_iter / (time.perf_counter() - t0)
+    # FLOP accounting last: compiling/running the reference (unpacked)
+    # programs on the remote compile service must not overlap the timed
+    # loops. Useful FLOPs = the unpacked programs' XLA counts (packing's
+    # structural zeros would flatter the MFU otherwise).
+    eval_ref = steps_lib.make_eval_step(mcfg, scfg_unpacked)
+    feats, wps = eval_ref.forward(params, state, batch, key)
+    hom = jnp.eye(3, dtype=jnp.float32)
+    fwd_flops = _program_flops(eval_ref.forward, params, state, batch, key)
+    dec_flops = _program_flops(eval_ref.decode_and_score, params, feats,
+                               wps, batch["traj"], batch["mask"], hom)
+    eval_flops = ((fwd_flops + dec_flops)
+                  if fwd_flops and dec_flops else None)
+    train_ref = steps_lib.make_train_step(mcfg, scfg_unpacked, optimizer)
+    train_flops = _program_flops(train_ref, trainable, frozen, state,
+                                 opt_state, batch)
 
     res = {"eval_traj_per_sec": eval_tps, "train_traj_per_sec": train_tps,
            "compute_dtype": compute_dtype,
