@@ -10,13 +10,51 @@ parsed out of the filename (utils/util.py:78-122) — the filename codec is
 still emitted for tooling parity (mst_tpu.config.get_ckpt_name).
 """
 
+import concurrent.futures
 import json
 import os
+import threading
 
 import jax
 import numpy as np
 
 from mst_tpu.train.freeze import path_to_str
+
+# Async checkpoint IO: one background writer thread so the training loop
+# never stalls on disk (the reference blocks on torch.save; orbax-style
+# async without changing the npz+JSON on-disk format, which the analysis
+# tooling and the reference name codec depend on). JAX arrays are
+# immutable, so handing the pytree to the writer thread is race-free —
+# the device->host transfer itself happens off the training thread.
+_WRITER = None
+_WRITER_LOCK = threading.Lock()
+_PENDING = []
+
+
+def _writer():
+    global _WRITER
+    with _WRITER_LOCK:
+        if _WRITER is None:
+            _WRITER = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-writer")
+    return _WRITER
+
+
+def submit_write(fn):
+    """Queue an arbitrary checkpoint-write closure on the writer thread."""
+    fut = _writer().submit(fn)
+    _PENDING.append(fut)
+    return fut
+
+
+def wait_pending():
+    """Block until every async checkpoint write has landed on disk;
+    re-raises the first writer exception. Call before process exit or
+    before reading back a just-written checkpoint."""
+    global _PENDING
+    pending, _PENDING = _PENDING, []
+    for fut in pending:
+        fut.result()
 
 
 def flatten_tree(tree, prefix=""):
@@ -37,9 +75,14 @@ def unflatten_dict(flat: dict):
     return out
 
 
-def save_checkpoint(path, params, metadata=None, exclude_segmentation=True):
-    """Save a params pytree (None leaves skipped) + JSON metadata."""
-    flat = {}
+def save_checkpoint(path, params, metadata=None, exclude_segmentation=True,
+                    block=True):
+    """Save a params pytree (None leaves skipped) + JSON metadata.
+
+    block=False queues the device->host transfer and npz write on the
+    background writer thread and returns a future; wait_pending() joins.
+    """
+    leaves = {}
     for key_path, leaf in jax.tree_util.tree_flatten_with_path(
             params, is_leaf=lambda x: x is None)[0]:
         if leaf is None:
@@ -47,12 +90,22 @@ def save_checkpoint(path, params, metadata=None, exclude_segmentation=True):
         k = path_to_str(key_path)
         if exclude_segmentation and k.startswith("segmentation"):
             continue  # trainer.py:596-597
-        flat[k] = np.asarray(leaf)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **flat)
-    if metadata is not None:
-        with open(str(path) + ".json", "w") as f:
-            json.dump(metadata, f, indent=1, default=str)
+        leaves[k] = leaf
+
+    def write():
+        flat = {k: np.asarray(v) for k, v in leaves.items()}
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez(path, **flat)
+        if metadata is not None:
+            with open(str(path) + ".json", "w") as f:
+                json.dump(metadata, f, indent=1, default=str)
+
+    if block:
+        write()
+        return None
+    fut = _writer().submit(write)
+    _PENDING.append(fut)
+    return fut
 
 
 def load_checkpoint(path):

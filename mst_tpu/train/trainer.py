@@ -77,18 +77,20 @@ class Experiment:
         self.model_params = ckpt_lib.overlay_checkpoint(
             self.model_params, ckpt_lib.load_checkpoint(path))
 
-    def save_params(self, path, train_net=None, mask=None):
+    def save_params(self, path, train_net=None, mask=None, block=True):
         train_net = train_net or self.params.get("train_net", "train")
         if train_net in ("all", "train"):
             ckpt_lib.save_checkpoint(path, self.model_params,
-                                     metadata=self._ckpt_metadata())
+                                     metadata=self._ckpt_metadata(),
+                                     block=block)
         else:
             if mask is None:
                 mask = self._trainable_mask()
             trainable, _ = freeze_lib.split_params(self.model_params, mask)
             ckpt_lib.save_checkpoint(path, trainable,
                                      metadata=self._ckpt_metadata(),
-                                     exclude_segmentation=False)
+                                     exclude_segmentation=False,
+                                     block=block)
 
     def load_separated_params(self, pretrained_path, tuned_path):
         self.model_params = ckpt_lib.load_separated(
@@ -409,15 +411,18 @@ class Experiment:
 
             if (e + 1) % int(p.get("save_every_n", 10)) == 0:
                 config_lib.ensure_dir(p["ckpt_path"])
+                # async: the writer thread does D2H + npz while training
+                # continues (checkpoints.wait_pending joins at train end)
                 self.save_params(
                     f'{p["ckpt_path"]}/{experiment_name}__epoch_{e}.npz',
-                    mask=mask)
+                    mask=mask, block=False)
                 self.save_training_state(
                     train_state_path, trainable, opt_state, e + 1,
                     val_history=self.val_ADE, model_state=state,
                     val_fde_history=self.val_FDE,
                     best_snapshot=best_snapshot,
-                    best_val_ade=best_val_ade, best_epoch=best_epoch)
+                    best_val_ade=best_val_ade, best_epoch=best_epoch,
+                    block=False)
 
             # early stop on clear overfitting (trainer.py:279-281)
             if fine_tune and self.val_ADE and \
@@ -434,6 +439,7 @@ class Experiment:
         self.model_state = state
         config_lib.ensure_dir(p["ckpt_path"])
         self.save_params(f'{p["ckpt_path"]}/{experiment_name}.npz', mask=mask)
+        ckpt_lib.wait_pending()  # join the async epoch/train-state writes
         rates = meter.rates()
         print(f"train wall-clock: {time.time() - t0:.1f}s "
               f"({rates['traj_per_sec']:.1f} traj/s, "
@@ -445,24 +451,17 @@ class Experiment:
     def save_training_state(self, path, trainable, opt_state, epoch,
                             val_history=None, model_state=None,
                             val_fde_history=None, best_snapshot=None,
-                            best_val_ade=None, best_epoch=None):
+                            best_val_ade=None, best_epoch=None, block=True):
         """Persist everything a faithful mid-run resume needs: trainable
         params, optimizer state, epoch counter, BN state, val history and
-        the best-checkpoint tracking (snapshot + score)."""
+        the best-checkpoint tracking (snapshot + score). block=False
+        offloads D2H + write to the checkpoint writer thread (JAX arrays
+        are immutable, so the captured trees are race-free)."""
         import json
 
-        flat = {f"trainable/{k}": v for k, v in
-                ckpt_lib.flatten_tree(trainable).items()}
-        for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
-            flat[f"opt/{i}"] = np.asarray(leaf)
-        if model_state:
-            flat.update({f"state/{k}": v for k, v in
-                         ckpt_lib.flatten_tree(model_state).items()})
-        if best_snapshot is not None:
-            flat.update({f"best/{k}": v for k, v in
-                         ckpt_lib.flatten_tree(best_snapshot).items()})
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        np.savez(path, **flat)
+        trees = {"trainable": trainable,
+                 "opt_leaves": list(jax.tree_util.tree_leaves(opt_state)),
+                 "model_state": model_state, "best": best_snapshot}
         meta = {**self._ckpt_metadata(), "epoch": epoch,
                 "val_ADE": list(map(float, val_history or [])),
                 "val_FDE": list(map(float, val_fde_history or [])),
@@ -471,14 +470,37 @@ class Experiment:
             meta["best_val_ade"] = float(best_val_ade)
         if best_epoch is not None:
             meta["best_epoch"] = int(best_epoch)
-        with open(str(path) + ".json", "w") as f:
-            json.dump(meta, f, default=str)
+
+        def write():
+            flat = {f"trainable/{k}": v for k, v in
+                    ckpt_lib.flatten_tree(trees["trainable"]).items()}
+            for i, leaf in enumerate(trees["opt_leaves"]):
+                flat[f"opt/{i}"] = np.asarray(leaf)
+            if trees["model_state"]:
+                flat.update({f"state/{k}": v for k, v in
+                             ckpt_lib.flatten_tree(
+                                 trees["model_state"]).items()})
+            if trees["best"] is not None:
+                flat.update({f"best/{k}": v for k, v in
+                             ckpt_lib.flatten_tree(trees["best"]).items()})
+            os.makedirs(os.path.dirname(os.path.abspath(path)),
+                        exist_ok=True)
+            np.savez(path, **flat)
+            with open(str(path) + ".json", "w") as f:
+                json.dump(meta, f, default=str)
+
+        if block:
+            write()
+        else:
+            ckpt_lib.submit_write(write)
 
     def restore_training_state(self, path, trainable, opt_state):
         """Restore a saved training state onto freshly-initialized trees;
         returns (trainable, opt_state, epoch, extras) where extras carries
         model_state / best_snapshot / histories when present."""
         import json
+
+        ckpt_lib.wait_pending()  # read-your-writes for async saves
 
         flat = ckpt_lib.load_checkpoint(path)
         tr_flat = {k[len("trainable/"):]: v for k, v in flat.items()

@@ -290,3 +290,51 @@ def test_training_curve_extraction_and_plot(tmp_path):
     # history-mode moving average: trailing window
     ma = curves.moving_average(np.arange(10.0), 3, box_loc="history")
     np.testing.assert_allclose(ma[4], np.mean([2.0, 3.0, 4.0]))
+
+
+def test_swap_importance_numeric_oracle(setup):
+    """Oracle for the swap deltas (not just smoke): when tuned differs
+    from pretrained in exactly ONE group, swapping that group must equal
+    the pretrained model's own eval, and swapping any other group must
+    equal the tuned eval bitwise (same seed, deterministic device eval)."""
+    from mst_tpu.evaluator.importance import swap_importance
+    from mst_tpu.train.checkpoints import unflatten_dict
+    from mst_tpu.train.checkpoints import flatten_tree
+    from mst_tpu.utils.seeding import set_random_seeds
+
+    tmp, df, images, base_path, delta_path, ft_params = setup
+    model = Experiment(dict(ft_params, n_round=1), images=images)
+    model.load_separated_params(base_path, delta_path)
+    tuned = flatten_tree(model.model_params)
+
+    # pretrained differs ONLY in group 'traj_decoder' (perturb predictor)
+    pretrained = dict(tuned)
+    target_keys = [k for k in tuned if k.startswith("traj_decoder/")]
+    for k in target_keys:
+        pretrained[k] = np.asarray(tuned[k]) + 0.01
+
+    # direct evals of both endpoints (same seed as swap_importance uses)
+    model.model_params = unflatten_dict(dict(tuned))
+    set_random_seeds(1)
+    ade_tuned, fde_tuned, _, _ = model.test(df, None)
+    model.model_params = unflatten_dict(dict(pretrained))
+    set_random_seeds(1)
+    ade_pre, fde_pre, _, _ = model.test(df, None)
+    assert ade_pre != ade_tuned  # the perturbation must matter
+
+    model.model_params = unflatten_dict(dict(tuned))
+    out = swap_importance(model, df, None, pretrained, tuned, depth=1,
+                          seed=1)
+    by_group = out.set_index("group")
+    # baseline row == tuned eval; 'all' row == pretrained eval
+    assert by_group.loc["none", "ade"] == ade_tuned
+    assert by_group.loc["all", "ade"] == ade_pre
+    # swapped goal_decoder == pretrained eval exactly
+    assert by_group.loc["traj_decoder", "ade"] == ade_pre
+    assert by_group.loc["traj_decoder", "fde"] == fde_pre
+    # every other group swap changes nothing
+    others = [g for g in by_group.index
+              if g not in ("none", "all", "traj_decoder")]
+    assert others
+    for g in others:
+        assert by_group.loc[g, "ade"] == ade_tuned, g

@@ -119,3 +119,23 @@ def test_kill_and_resume_bitwise_identical(tmp_path):
     assert want.keys() == got.keys() and len(want) > 0
     for k in want:
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_async_checkpoint_write(tmp_path):
+    """block=False saves land after wait_pending and read back equal."""
+    import jax.numpy as jnp
+
+    from mst_tpu.train import checkpoints as ckpt_lib
+
+    params = {"layer": {"weight": jnp.arange(12.0).reshape(3, 4),
+                        "bias": jnp.ones(4)}}
+    path = str(tmp_path / "async.npz")
+    fut = ckpt_lib.save_checkpoint(path, params, metadata={"seed": 7},
+                                   block=False)
+    assert fut is not None
+    ckpt_lib.wait_pending()
+    flat = ckpt_lib.load_checkpoint(path)
+    np.testing.assert_array_equal(flat["layer/weight"],
+                                  np.arange(12.0).reshape(3, 4))
+    import json
+    assert json.load(open(path + ".json"))["seed"] == 7
