@@ -514,7 +514,42 @@ def _decoder_apply(params, features, packed_finest: bool = False,
     x = jax.nn.relu(layers.conv2d_apply(params["center"]["0"], x))
     x = jax.nn.relu(layers.conv2d_apply(params["center"]["1"], x))
     n = len(params["blocks"])
+    deep_packed = (
+        packed_finest and n >= 3
+        and params["blocks"][str(n - 2)]["1"]["weight"].shape[-1] <= 32)
     for i in range(n):
+        if deep_packed and i == n - 2:
+            from mst_tpu.ops import packed as packed_lib
+
+            # second-finest level packed (C_out <= 32); one depth_to_space
+            # bridges into the packed finest level below
+            up_p = params["upsample"][str(i)]
+            b0 = params["blocks"][str(i)]["0"]
+            b1 = params["blocks"][str(i)]["1"]
+            cin = up_p["weight"].shape[2]
+            lo = up_p["weight"].shape[3]
+            xq = packed_lib.packed_upsample_2x(
+                x, jnp.asarray(packed_lib.packed_upsample_kernel(cin)))
+            xq = packed_lib.packed_conv(
+                xq, packed_lib.pack_conv3x3_kernel(up_p["weight"]),
+                packed_lib.pack_bias(up_p["bias"]) if "bias" in up_p
+                else None)
+            fq = packed_lib.space_to_depth(feats[i + 1])
+            yq = (packed_lib.packed_conv(
+                      xq, packed_lib.pack_conv3x3_kernel(
+                          b0["weight"][:, :, :lo, :]))
+                  + packed_lib.packed_conv(
+                      fq, packed_lib.pack_conv3x3_kernel(
+                          b0["weight"][:, :, lo:, :])))
+            if "bias" in b0:
+                yq = yq + packed_lib.pack_bias(b0["bias"])
+            yq = jax.nn.relu(yq)
+            yq = packed_lib.packed_conv(
+                yq, packed_lib.pack_conv3x3_kernel(b1["weight"]),
+                packed_lib.pack_bias(b1["bias"]) if "bias" in b1 else None)
+            yq = jax.nn.relu(yq)
+            x = packed_lib.depth_to_space(yq)
+            continue
         if packed_finest and i == n - 1:
             from mst_tpu.ops import packed as packed_lib
 
