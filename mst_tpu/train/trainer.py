@@ -354,12 +354,22 @@ class Experiment:
 
             # double-buffered host->device transfer (parallel/hostdata.py):
             # batch i+1's device_puts are enqueued while step i computes
-            for db in hostdata.prefetch_to_device(train_batches, make_db):
+            for bi, db in enumerate(
+                    hostdata.prefetch_to_device(train_batches, make_db)):
                 trainable, state, opt_state, metrics = step(
                     trainable, frozen, state, opt_state, db)
+                loss_b = float(metrics["loss"])
+                if not np.isfinite(loss_b):
+                    # fail fast with context instead of training on garbage
+                    # (SURVEY §5: NaN/inf guards replace torch sanitizers)
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_b} at epoch {e}, "
+                        f"scene-batch {bi} (lr={p['lr']}, "
+                        f"loss_scale={p.get('loss_scale')}); inspect the "
+                        f"input data or lower --lr")
                 ade_sum += float(metrics["ade_sum"])
                 fde_sum += float(metrics["fde_sum"])
-                loss_sum += float(metrics["loss"])
+                loss_sum += loss_b
                 n_sum += float(metrics["n"])
             meter.update(n_sum, len(train_batches))
             train_ade = ade_sum / max(n_sum, 1)

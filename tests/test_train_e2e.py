@@ -149,3 +149,15 @@ def test_init_check_equivalence(tmp_path, dataset):
     ade_a, fde_a, _, _ = adapted.test(df_test, None)
     np.testing.assert_allclose(ade_p, ade_a, rtol=1e-5)
     np.testing.assert_allclose(fde_p, fde_a, rtol=1e-5)
+
+
+def test_nonfinite_loss_fails_fast(tmp_path, dataset):
+    """NaN inputs must abort training with a contextual error, not train on
+    garbage (SURVEY §5 numerics guard)."""
+    df_train, df_val, _, images = dataset
+    df_bad = df_train.copy()
+    df_bad.loc[df_bad.index[:4], "x"] = np.nan
+    params = make_params(tmp_path)
+    exp = Experiment(params, images=images)
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        exp.train(df_bad, df_val, None, None, "nan_guard")
