@@ -77,8 +77,11 @@ def convert_torch_ynet(state_dict, position=()):
             else np.asarray(val))
 
     for name, val in state_dict.items():
-        val = np.asarray(getattr(val, "numpy", lambda: val)()
-                         if hasattr(val, "numpy") else val)
+        # copy: torch .numpy()/np.asarray share the parameter storage, and
+        # a converted tree must not silently track later in-place optimizer
+        # updates of the source model
+        val = np.array(getattr(val, "numpy", lambda: val)()
+                       if hasattr(val, "numpy") else val, copy=True)
         if name.startswith("semantic_segmentation"):
             continue  # convert separately (convert_torch_segmentation)
 
@@ -155,8 +158,8 @@ def convert_torch_segmentation(state_dict, activation="softmax"):
     stats included inline: the backbone runs frozen in eval mode)."""
     params = {}
     for name, val in state_dict.items():
-        val = np.asarray(getattr(val, "numpy", lambda: val)()
-                         if hasattr(val, "numpy") else val)
+        val = np.array(getattr(val, "numpy", lambda: val)()
+                       if hasattr(val, "numpy") else val, copy=True)
         name = re.sub(r"^(semantic_segmentation|model)\.", "", name)
         if name.endswith("num_batches_tracked"):
             continue
