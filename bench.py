@@ -95,13 +95,48 @@ def get_baseline():
 V5E_PEAK_BF16 = 197e12
 
 
+def _flops_of(ca):
+    if isinstance(ca, list):
+        ca = ca[0] if ca else None
+    if not ca:
+        return None
+    return float(ca.get("flops", 0.0)) or None
+
+
 def _program_flops(lowerable, *args):
-    """XLA's own FLOP count for one execution of a jitted program."""
+    """XLA's own FLOP count for one execution of a jitted program.
+
+    Uses pre-compile HLO cost analysis (host-side, seconds) — the reference
+    programs are only lowered for accounting, never compiled or run, which
+    keeps bench wall-time bounded on slow-compile hosts. Some backends
+    (e.g. the tunneled axon TPU) return None for a lowered cost analysis;
+    FLOP counts are backend-independent, so re-lower against the local CPU
+    backend before falling back to a full compile.
+    """
+    import jax
+    import jax.numpy as jnp
+
     try:
-        ca = lowerable.lower(*args).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
+        flops = _flops_of(lowerable.lower(*args).cost_analysis())
+        if flops:
+            return flops
+    except Exception:
+        pass
+    try:
+        cpu = jax.devices("cpu")[0]
+        # abstract args carry no device commitment, so the default_device
+        # context makes lower() target the CPU backend
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype)
+            if hasattr(x, "dtype") else x, args)
+        with jax.default_device(cpu):
+            flops = _flops_of(lowerable.lower(*abstract).cost_analysis())
+        if flops:
+            return flops
+    except Exception:
+        pass
+    try:
+        return _flops_of(lowerable.lower(*args).compile().cost_analysis())
     except Exception:
         return None
 
@@ -182,7 +217,9 @@ def measure_jax(n_iter=20, compute_dtype="float32"):
     # loops. Useful FLOPs = the unpacked programs' XLA counts (packing's
     # structural zeros would flatter the MFU otherwise).
     eval_ref = steps_lib.make_eval_step(mcfg, scfg_unpacked)
-    feats, wps = eval_ref.forward(params, state, batch, key)
+    # abstract shapes only — the unpacked reference programs are lowered for
+    # FLOP accounting but never compiled or executed
+    feats, wps = jax.eval_shape(eval_ref.forward, params, state, batch, key)
     hom = jnp.eye(3, dtype=jnp.float32)
     fwd_flops = _program_flops(eval_ref.forward, params, state, batch, key)
     dec_flops = _program_flops(eval_ref.decode_and_score, params, feats,

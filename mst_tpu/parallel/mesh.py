@@ -26,9 +26,44 @@ def make_mesh(mesh_shape=None, axis_names=("data",), devices=None):
     return Mesh(dev_array, axis_names)
 
 
+def make_hybrid_mesh(n_slices=None, per_slice=None,
+                     axis_names=("replica", "data"), devices=None):
+    """Multi-slice (pod) mesh: 'replica' spans slices over DCN, 'data' spans
+    chips within a slice over ICI.
+
+    Batch shards over BOTH axes (data_sharding uses every mesh axis), params
+    replicate, so the gradient all-reduce decomposes hierarchically: XLA
+    reduce-scatters over ICI first, crosses DCN once with the per-slice
+    partial, then all-gathers over ICI — the standard data-parallel pod
+    recipe. On hardware with slice metadata the device order comes from
+    mesh_utils.create_hybrid_device_mesh (DCN axis outermost, so 'replica'
+    neighbors differ by slice, never by ICI hop); on single-slice or CPU
+    meshes it degrades to a row-major reshape with identical program
+    semantics (collectives just ride one fabric).
+    """
+    devices = devices if devices is not None else jax.devices()
+    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices is None:
+        n_slices = len(slice_ids)
+    if per_slice is None:
+        per_slice = len(devices) // n_slices
+    if len(slice_ids) == n_slices > 1:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            (1, per_slice), (n_slices, 1), devices=devices)
+        return Mesh(dev_array, axis_names)
+    n = n_slices * per_slice
+    assert n <= len(devices), (n_slices, per_slice, len(devices))
+    dev_array = np.asarray(devices[:n]).reshape(n_slices, per_slice)
+    return Mesh(dev_array, axis_names)
+
+
 def data_sharding(mesh):
-    """Shard axis 0 over 'data'."""
-    return NamedSharding(mesh, P("data"))
+    """Shard axis 0 over every mesh axis (1D 'data' mesh: P('data'); hybrid
+    ('replica', 'data') mesh: both, so the global batch splits
+    n_slices * per_slice ways)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated(mesh):
