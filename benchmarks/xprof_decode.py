@@ -66,12 +66,14 @@ def main():
         optimizer = optax.adam(1e-3)
         opt_state = optimizer.init(trainable)
         step = steps_lib.make_train_step(mcfg, scfg, optimizer)
-        out = step(trainable, frozen, state, opt_state, batch)
-        jax.block_until_ready(out[3]["loss"])
+        trainable, st, opt_state, m = step(trainable, frozen, state,
+                                           opt_state, batch)
+        jax.block_until_ready(m["loss"])
         with jax.profiler.trace(logdir):
             for _ in range(5):
-                out = step(*out[:3], opt_state, batch)
-            jax.block_until_ready(out[3]["loss"])
+                trainable, st, opt_state, m = step(trainable, frozen, st,
+                                                   opt_state, batch)
+            jax.block_until_ready(m["loss"])
     else:
         eval_step = steps_lib.make_eval_step(mcfg, scfg)
         feats, wps = eval_step.forward(params, state, batch, key)

@@ -371,7 +371,11 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
             # softargmax in f32, channels-last, transpose-free; the packed
             # path never materializes the (Kc*B, H, W, pred) volume
             # (~0.7 GB/chunk at SDD scale; DTS+transpose measured at ~45%
-            # of this program's time on v5e)
+            # of this program's time on v5e). NOTE: a single-pass Pallas
+            # kernel was tried and measured SLOWER end-to-end — the custom
+            # call's operand layout constraint forces a relayout copy of
+            # the 0.65 GB predictor output that XLA's reduction fusions
+            # read in the conv's native tiled layout (ROADMAP perf notes).
             if scfg.packed_decode:
                 pts = softargmax2d_packed(pred_map, scfg.pred_len)
             else:
