@@ -58,7 +58,7 @@ def get_parser(is_train: bool) -> argparse.ArgumentParser:
     parser.add_argument("--config_filename", default=None, type=str)
     # TPU-specific additions
     parser.add_argument("--mesh_shape", default=None, type=int, nargs="+",
-                        help="device mesh shape, e.g. --mesh_shape 8")
+                        help="device mesh shape: one value for a 1D 'data' mesh (--mesh_shape 8), two for a hybrid multi-slice (replica, data) mesh over DCN x ICI (--mesh_shape 2 4)")
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"])
     if is_train:

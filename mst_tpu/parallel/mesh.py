@@ -59,6 +59,19 @@ def make_hybrid_mesh(n_slices=None, per_slice=None,
     return Mesh(dev_array, axis_names)
 
 
+def mesh_from_shape(mesh_shape):
+    """CLI --mesh_shape to a Mesh: one value -> 1D 'data' mesh; two values
+    -> hybrid (replica, data) multi-slice mesh; None -> no mesh."""
+    if mesh_shape is None:
+        return None
+    shape = tuple(int(s) for s in mesh_shape)
+    if len(shape) == 1:
+        return make_mesh(shape)
+    if len(shape) == 2:
+        return make_hybrid_mesh(*shape)
+    raise ValueError(f"--mesh_shape takes 1 or 2 values, got {shape}")
+
+
 def data_sharding(mesh):
     """Shard axis 0 over every mesh axis (1D 'data' mesh: P('data'); hybrid
     ('replica', 'data') mesh: both, so the global batch splits

@@ -267,7 +267,8 @@ def _ttst_goals(key, mcfg, params, pred_waypoint_map, pred_wp_sigmoid, scfg):
         rel_threshold=scfg.rel_threshold, replacement=True)  # (B,1,10000,2)
     goal_samples = goal_samples[:, 0]  # (B, 10000, 2)
     _, centers = batched_kmeans(k2, goal_samples, scfg.n_goal - 1,
-                                tol=1e-3, iter_limit=100)  # (B, K-1, 2)
+                                tol=1e-3)  # (B, K-1, 2); tol/iter_limit
+    # default to the reference call's 0.001/1000 (evaluate.py:153-154)
     sam = softargmax2d(jnp.moveaxis(pred_waypoint_map[..., -1:], -1, 1))
     goals = jnp.concatenate([sam[:, None, 0:1, :],
                              centers[:, :, None, :]], axis=1)  # (B,K,1,2)

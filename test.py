@@ -5,7 +5,7 @@ import time
 
 from mst_tpu import config as config_lib
 from mst_tpu.data.splits import prepare_dataset
-from mst_tpu.parallel.mesh import make_mesh
+from mst_tpu.parallel.mesh import mesh_from_shape
 from mst_tpu.train.trainer import Experiment
 from mst_tpu.utils.seeding import set_random_seeds
 
@@ -38,7 +38,7 @@ def main(args):
         args.ckpts, args.ckpts_name, args.pretrained_ckpt,
         [args.tuned_ckpt] if args.tuned_ckpt else [])
     print(ckpts, ckpts_name)
-    mesh = make_mesh(tuple(args.mesh_shape)) if args.mesh_shape else None
+    mesh = mesh_from_shape(args.mesh_shape)
 
     model = None
     if len(ckpts_name) == 1:

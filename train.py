@@ -8,7 +8,7 @@ import time
 
 from mst_tpu import config as config_lib
 from mst_tpu.data.splits import prepare_dataset
-from mst_tpu.parallel.mesh import make_mesh
+from mst_tpu.parallel.mesh import mesh_from_shape
 from mst_tpu.train.trainer import Experiment
 from mst_tpu.utils.seeding import set_random_seeds
 
@@ -28,7 +28,7 @@ def main(args):
         args, df_train.metaId.unique().shape[0])
     print(f"Experiment {experiment_name} has started")
 
-    mesh = make_mesh(tuple(args.mesh_shape)) if args.mesh_shape else None
+    mesh = mesh_from_shape(args.mesh_shape)
     model = Experiment(params, mesh=mesh)
     if args.pretrained_ckpt is not None:
         model.load_params(args.pretrained_ckpt)
