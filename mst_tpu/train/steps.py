@@ -30,7 +30,7 @@ from mst_tpu.ops.heatmap import (pyramid_from_packed, rasterize_dist_nhwc,
 from mst_tpu.ops.kmeans import batched_kmeans
 from mst_tpu.ops.pooling import avg_pool_pyramid
 from mst_tpu.ops.sampling import sample_heatmap
-from mst_tpu.ops.softargmax import (softargmax2d, softargmax2d_nhwc,
+from mst_tpu.ops.softargmax import (softargmax2d_auto, softargmax2d_nhwc,
                                     softargmax2d_packed,
                                     softargmax_on_prob_map)
 from mst_tpu.train.freeze import merge_params
@@ -269,7 +269,7 @@ def _ttst_goals(key, mcfg, params, pred_waypoint_map, pred_wp_sigmoid, scfg):
     _, centers = batched_kmeans(k2, goal_samples, scfg.n_goal - 1,
                                 tol=1e-3)  # (B, K-1, 2); tol/iter_limit
     # default to the reference call's 0.001/1000 (evaluate.py:153-154)
-    sam = softargmax2d(jnp.moveaxis(pred_waypoint_map[..., -1:], -1, 1))
+    sam = softargmax2d_auto(jnp.moveaxis(pred_waypoint_map[..., -1:], -1, 1))
     goals = jnp.concatenate([sam[:, None, 0:1, :],
                              centers[:, :, None, :]], axis=1)  # (B,K,1,2)
     return jnp.swapaxes(goals, 0, 1)  # (K, B, 1, 2)
