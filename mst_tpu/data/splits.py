@@ -39,6 +39,13 @@ def dataset_split_by_ratio(df, val_split, test_split=None, shuffle=False,
             df_test = reduce_df_meta_ids(df, test_ids)
             df_val = reduce_df_meta_ids(df, val_ids)
     else:
+        # NOTE: faithful reference quirk (data_utils.py:806-808): the
+        # val/train names are SWAPPED relative to the split sizes — the
+        # first n - n_val ids land in df_val and the trailing n_val ids in
+        # df_train. No shipped config reaches this branch (every experiment
+        # passes test_split or uses predefined pickles), but callers of the
+        # two-way ratio split inherit the reference's behavior byte-for-byte
+        # rather than a silent fix. See docs/parity.md.
         n_train = n - n_val
         val_ids, train_ids = np.split(unique_meta_ids, [n_train])
         df_test = None

@@ -109,8 +109,11 @@ def save_checkpoint(path, params, metadata=None, exclude_segmentation=True,
 
 
 def load_checkpoint(path):
-    """-> flat {path: np.ndarray} dict."""
-    with np.load(path if str(path).endswith(".npz") else path) as z:
+    """-> flat {path: np.ndarray} dict (appends .npz if missing)."""
+    p = str(path)
+    if not p.endswith(".npz") and not os.path.exists(p):
+        p += ".npz"
+    with np.load(p) as z:
         return {k: z[k] for k in z.files}
 
 

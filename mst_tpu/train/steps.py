@@ -139,10 +139,6 @@ def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None,
     return semantic, observed_map, seg_updates
 
 
-def _masked_mean(x, mask):
-    return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-
-
 def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
     """Build the jitted train step.
 
@@ -275,7 +271,8 @@ def _ttst_goals(key, mcfg, params, pred_waypoint_map, pred_wp_sigmoid, scfg):
     return jnp.swapaxes(goals, 0, 1)  # (K, B, 1, 2)
 
 
-def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
+def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
+                   collect_samples: bool = False):
     """Build the multi-goal eval step.
 
     Signature: (params, state, batch, key) -> metrics dict with per-trajectory
@@ -286,6 +283,10 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
     XLA compile while the split compiles in well under a minute and runs at
     the same steady-state rate. min-over-K metrics are O(K*B*T) and computed
     on host.
+
+    collect_samples additionally returns the goal map, its tempered sigmoid
+    and the per-K waypoint samples (reference evaluate.py:75-80,240-245 —
+    the return_samples visualization payload), NHWC instead of NCHW.
     """
     waypoints = jnp.asarray(scfg.waypoints)
     n_wp = len(scfg.waypoints)
@@ -334,6 +335,8 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
             waypoint_samples = jnp.concatenate([ws, goal_rep], axis=2)
         else:
             waypoint_samples = goal_samples  # (K,B,1,2)
+        if collect_samples:
+            return features, waypoint_samples, pred_goal_map
         return features, waypoint_samples
 
     @jax.jit
@@ -438,12 +441,23 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
         }
 
     def eval_step(params, state, batch, key):
-        features, waypoint_samples = forward(params, state, batch, key)
+        fwd_out = forward(params, state, batch, key)
+        features, waypoint_samples = fwd_out[0], fwd_out[1]
         hom = batch.get("homography")
         if hom is None:
             hom = jnp.eye(3, dtype=jnp.float32)
-        return decode_and_score(params, features, waypoint_samples,
-                                batch["traj"], batch["mask"], hom)
+        out = decode_and_score(params, features, waypoint_samples,
+                               batch["traj"], batch["mask"], hom)
+        if collect_samples:
+            goal_map = fwd_out[2]
+            out = dict(out)
+            out["goal_map"] = goal_map  # (B, H, W, pred) logits, NHWC
+            out["goal_sigmoid_map"] = jax.nn.sigmoid(
+                goal_map / scfg.temperature)
+            # (K, B, n_wp, 2) -> (B, n_wp, K, 2), evaluate.py:243-245
+            out["waypoint_samples"] = jnp.transpose(waypoint_samples,
+                                                    (1, 2, 0, 3))
+        return out
 
     # the two compiled sub-programs, exposed for FLOP accounting (bench.py
     # lowers them through XLA cost analysis)

@@ -136,8 +136,11 @@ class Experiment:
         total_len = p["obs_len"] + p["pred_len"]
         batch_size = int(p["batch_size"])
         if self.mesh is not None:
-            n_data = self.mesh.shape["data"]
-            batch_size = -(-batch_size // n_data) * n_data
+            # the batch axis shards over EVERY mesh axis (data_sharding):
+            # round up to mesh.size, not just the 'data' axis, so hybrid
+            # (replica, data) meshes divide too
+            n_shards = self.mesh.size
+            batch_size = -(-batch_size // n_shards) * n_shards
         return scenes_lib.make_scene_batches(
             df, images, total_len, batch_size, p["resize_factor"],
             shuffle=(mode == "train"), rng=rng)
@@ -317,6 +320,12 @@ class Experiment:
                 best_val_ade = float(extras["best_val_ade"])
             best_epoch = int(extras.get("best_epoch") or 0)
             best_snapshot = extras["best_snapshot"]
+            # smooth-val's lagging snapshot window resumes with its saved
+            # contents, so the half-window-old `current` selection is
+            # identical to an uninterrupted run (without this, an early
+            # post-resume best would select an empty-window None and
+            # silently drop the restored best snapshot)
+            snapshots = collections.deque(extras.get("snapshots", []))
             for _ in range(start_epoch):
                 rng.shuffle(train_batches)
             print(f"Resumed training state at epoch {start_epoch} "
@@ -409,7 +418,7 @@ class Experiment:
                 current = snapshot
                 sel_ade = val_ade
 
-            if sel_ade < best_val_ade:
+            if sel_ade < best_val_ade and current is not None:
                 best_val_ade = sel_ade
                 best_epoch = e - half_window + 1 if smooth_val else e
                 best_snapshot = current
@@ -432,6 +441,7 @@ class Experiment:
                     val_fde_history=self.val_FDE,
                     best_snapshot=best_snapshot,
                     best_val_ade=best_val_ade, best_epoch=best_epoch,
+                    snapshots=snapshots if smooth_val else None,
                     block=False)
 
             # early stop on clear overfitting (trainer.py:279-281)
@@ -461,21 +471,25 @@ class Experiment:
     def save_training_state(self, path, trainable, opt_state, epoch,
                             val_history=None, model_state=None,
                             val_fde_history=None, best_snapshot=None,
-                            best_val_ade=None, best_epoch=None, block=True):
+                            best_val_ade=None, best_epoch=None,
+                            snapshots=None, block=True):
         """Persist everything a faithful mid-run resume needs: trainable
-        params, optimizer state, epoch counter, BN state, val history and
-        the best-checkpoint tracking (snapshot + score). block=False
-        offloads D2H + write to the checkpoint writer thread (JAX arrays
-        are immutable, so the captured trees are race-free)."""
+        params, optimizer state, epoch counter, BN state, val history,
+        the best-checkpoint tracking (snapshot + score) and smooth-val's
+        lagging snapshot window. block=False offloads D2H + write to the
+        checkpoint writer thread (JAX arrays are immutable, so the
+        captured trees are race-free)."""
         import json
 
         trees = {"trainable": trainable,
                  "opt_leaves": list(jax.tree_util.tree_leaves(opt_state)),
-                 "model_state": model_state, "best": best_snapshot}
+                 "model_state": model_state, "best": best_snapshot,
+                 "snapshots": list(snapshots) if snapshots else []}
         meta = {**self._ckpt_metadata(), "epoch": epoch,
                 "val_ADE": list(map(float, val_history or [])),
                 "val_FDE": list(map(float, val_fde_history or [])),
-                "has_best": best_snapshot is not None}
+                "has_best": best_snapshot is not None,
+                "n_snapshots": len(trees["snapshots"])}
         if best_val_ade is not None and np.isfinite(best_val_ade):
             meta["best_val_ade"] = float(best_val_ade)
         if best_epoch is not None:
@@ -493,6 +507,9 @@ class Experiment:
             if trees["best"] is not None:
                 flat.update({f"best/{k}": v for k, v in
                              ckpt_lib.flatten_tree(trees["best"]).items()})
+            for i, snap in enumerate(trees["snapshots"]):
+                flat.update({f"snap/{i}/{k}": v for k, v in
+                             ckpt_lib.flatten_tree(snap).items()})
             os.makedirs(os.path.dirname(os.path.abspath(path)),
                         exist_ok=True)
             np.savez(path, **flat)
@@ -538,6 +555,14 @@ class Experiment:
             extras["best_snapshot"] = jax.tree.map(
                 np.asarray,
                 ckpt_lib.overlay_checkpoint(trainable, best_flat))
+        extras["snapshots"] = []
+        for i in range(int(meta.get("n_snapshots", 0))):
+            pre = f"snap/{i}/"
+            snap_flat = {k[len(pre):]: v for k, v in flat.items()
+                         if k.startswith(pre)}
+            extras["snapshots"].append(jax.tree.map(
+                np.asarray,
+                ckpt_lib.overlay_checkpoint(trainable, snap_flat)))
         return restored, opt_state, int(meta["epoch"]), extras
 
     def _save_full_or_delta(self, path, mask):
@@ -552,11 +577,18 @@ class Experiment:
                                      exclude_segmentation=False)
 
     # -- evaluation (reference trainer.py:295-352) ---------------------------
-    def _evaluate(self, batches, eval_step, key, collect_preds=False):
+    def _evaluate(self, batches, eval_step, key, collect_preds=False,
+                  collect_samples=False):
         seg_cache = {}
         ade_sum = fde_sum = n_sum = 0.0
         rows = []
-        trajs = {"prediction": [], "metaId": []} if collect_preds else None
+        trajs = None
+        if collect_preds:
+            trajs = {"prediction": [], "metaId": [], "groundtruth": []}
+            if collect_samples:
+                # reference evaluate.py:75-80 visualization payload
+                trajs.update(goal_map=[], goal_sigmoid_map=[],
+                             waypoint_sample=[])
         def make_db(batch):
             return self._device_batch(batch,
                                       self._semantic_for(batch, seg_cache))
@@ -577,6 +609,16 @@ class Experiment:
             if collect_preds:
                 trajs["prediction"].append(np.asarray(out["best_traj"])[m])
                 trajs["metaId"].append(batch.meta_ids[m])
+                # raw-pixel ground truth (evaluate.py:281-283)
+                trajs["groundtruth"].append(
+                    batch.trajectories[m] / self.params["resize_factor"])
+                if collect_samples:
+                    trajs["goal_map"].append(
+                        np.asarray(out["goal_map"])[m])
+                    trajs["goal_sigmoid_map"].append(
+                        np.asarray(out["goal_sigmoid_map"])[m])
+                    trajs["waypoint_sample"].append(
+                        np.asarray(out["waypoint_samples"])[m])
         df = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame()
         return (ade_sum / max(n_sum, 1), fde_sum / max(n_sum, 1), df, trajs)
 
@@ -584,7 +626,8 @@ class Experiment:
              return_samples=False):
         p = self.params
         batches = self.prepare_data(df_test, image_path, "test")
-        eval_step = steps_lib.make_eval_step(self.mcfg, self._step_config())
+        eval_step = steps_lib.make_eval_step(self.mcfg, self._step_config(),
+                                             collect_samples=return_samples)
         self.eval_ADE, self.eval_FDE = [], []
         list_metrics, list_trajs = [], []
         print("TTST setting:", p.get("use_TTST", False))
@@ -592,7 +635,9 @@ class Experiment:
             key = jax.random.fold_in(
                 jax.random.PRNGKey(int(p.get("seed", 1))), 10_000 + e)
             ade, fde, df_metrics, trajs = self._evaluate(
-                batches, eval_step, key, collect_preds=return_preds)
+                batches, eval_step, key,
+                collect_preds=return_preds or return_samples,
+                collect_samples=return_samples)
             list_metrics.append(df_metrics)
             list_trajs.append(trajs)
             print(f"Round {e}: \nTest ADE: {ade} \nTest FDE: {fde}")

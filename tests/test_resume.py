@@ -139,3 +139,50 @@ def test_async_checkpoint_write(tmp_path):
                                   np.arange(12.0).reshape(3, 4))
     import json
     assert json.load(open(path + ".json"))["seed"] == 7
+
+
+def test_training_state_snapshot_window_roundtrip(tmp_path):
+    """smooth_val's lagging snapshot deque persists through save/restore so
+    a resumed run selects the same half-window-old `current` as an
+    uninterrupted one (and an early post-resume best can never clobber the
+    restored best snapshot with None)."""
+    params = config_lib.get_params(overrides=dict(
+        obs_len=4, pred_len=8, waypoints=[7], n_semantic_classes=3,
+        encoder_channels=[8, 8, 16, 16, 16],
+        decoder_channels=[16, 16, 16, 8, 8], kernlen=31, nsig=4,
+        loss_scale=1000, resize_factor=0.25, temperature=1.0, n_goal=3,
+        n_traj=1, batch_size=4, lr=1e-3, n_epoch=1, dataset_name="sdd",
+        ckpt_path=str(tmp_path), train_net="mosa_2", position=["0", "1"],
+        n_round=1, seed=1, segmentation_model_fp=None))
+    exp = Experiment(params)
+    mask = exp._trainable_mask()
+    trainable, _ = freeze_lib.split_params(exp.model_params, mask)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(trainable)
+
+    rng = np.random.default_rng(0)
+    snaps = [jax.tree.map(
+        lambda x: np.asarray(rng.normal(size=np.shape(x)), np.float32),
+        jax.tree.map(np.asarray, trainable)) for _ in range(3)]
+    ckpt = str(tmp_path / "ts.npz")
+    exp.save_training_state(ckpt, trainable, opt_state, epoch=7,
+                            snapshots=snaps, best_snapshot=snaps[0],
+                            best_val_ade=1.5, best_epoch=2)
+    _, _, epoch, extras = exp.restore_training_state(ckpt, trainable,
+                                                     opt_state)
+    assert epoch == 7
+    assert len(extras["snapshots"]) == 3
+    for want, got in zip(snaps, extras["snapshots"]):
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                     want, got)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 snaps[0], extras["best_snapshot"])
+
+
+def test_load_checkpoint_appends_npz_extension(tmp_path):
+    from mst_tpu.train import checkpoints as ckpt_lib
+
+    path = str(tmp_path / "c")
+    ckpt_lib.save_checkpoint(path + ".npz", {"w": np.arange(4.0)})
+    flat = ckpt_lib.load_checkpoint(path)  # no extension
+    np.testing.assert_array_equal(flat["w"], np.arange(4.0))

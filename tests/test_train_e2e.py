@@ -161,3 +161,31 @@ def test_nonfinite_loss_fails_fast(tmp_path, dataset):
     exp = Experiment(params, images=images)
     with pytest.raises(FloatingPointError, match="non-finite loss"):
         exp.train(df_bad, df_val, None, None, "nan_guard")
+
+
+def test_return_samples_payload(tmp_path, dataset):
+    """test(return_samples=True) returns the reference's visualization
+    payload (evaluate.py:75-80,240-245): goal map + tempered sigmoid +
+    per-K waypoint samples + ground truth, NHWC."""
+    _, _, df_test, images = dataset
+    params = make_params(tmp_path, n_round=1)
+    exp = Experiment(params, images=images)
+    ade, fde, dfs, list_trajs = exp.test(df_test, None, return_preds=True,
+                                         return_samples=True)
+    trajs = list_trajs[0]
+    assert set(trajs) >= {"groundtruth", "prediction", "waypoint_sample",
+                          "goal_map", "goal_sigmoid_map", "metaId"}
+    n = sum(len(x) for x in trajs["metaId"])
+    assert n == df_test.metaId.nunique()
+    gm = trajs["goal_map"][0]
+    sig = trajs["goal_sigmoid_map"][0]
+    assert gm.ndim == 4 and gm.shape[-1] == params["pred_len"]
+    assert sig.shape == gm.shape
+    assert np.all(sig >= 0) and np.all(sig <= 1)
+    ws = trajs["waypoint_sample"][0]
+    # (b, n_wp, K, 2)
+    assert ws.shape[1:] == (len(params["waypoints"]), params["n_goal"], 2)
+    gt = trajs["groundtruth"][0]
+    assert gt.shape[1:] == (TOTAL_LEN, 2)
+    pred = trajs["prediction"][0]
+    assert pred.shape[1:] == (params["pred_len"], 2)
