@@ -62,14 +62,16 @@ def make_scene_batches(
     """
     per_scene = split_trajectories_by_scene(df, total_len)
     scene_ids = list(per_scene)
+    if shuffle and rng is None:
+        rng = np.random.default_rng()  # one generator for BOTH shuffles
     if shuffle:
-        (rng or np.random.default_rng()).shuffle(scene_ids)
+        rng.shuffle(scene_ids)
 
     batches = []
     for scene_id in scene_ids:
         trajs, metas = per_scene[scene_id]
         trajs = trajs * resize_factor
-        if shuffle and rng is not None:
+        if shuffle:
             perm = rng.permutation(len(trajs))
             trajs, metas = trajs[perm], metas[perm]
         img = images[scene_id]

@@ -57,6 +57,18 @@ def split_train_val_test_sequentially(data_path, train_files, val_split,
                                       test_splits=None, shuffle=False,
                                       share_val_test=False):
     """reference data_utils.py:754-767."""
+    if test_splits is None:
+        # the reference crashes with an opaque zip TypeError here; fail
+        # with an actionable message instead (same outcome, clearer)
+        raise ValueError(
+            "sequential split needs --test_splits (one per --val_files "
+            "entry); pass 0 for files that contribute no test set")
+    if len(test_splits) < len(train_files):
+        import warnings
+        warnings.warn(
+            f"{len(train_files)} train files but {len(test_splits)} "
+            "test_splits: trailing files are DROPPED from all splits "
+            "(reference zip-truncation semantics)", stacklevel=2)
     dfs = ([], [], [])
     for train_file, test_split in zip(train_files, test_splits):
         df = pd.read_pickle(os.path.join(data_path, train_file))

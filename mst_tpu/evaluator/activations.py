@@ -22,6 +22,14 @@ def capture_activations(model, df_scene, image_path):
     from mst_tpu.ops.pooling import avg_pool_pyramid
 
     p = model.params
+    if df_scene.sceneId.nunique() != 1:
+        # same invariant as Experiment.forward_test: all trajectories are
+        # rasterized into ONE scene's (H, W) against ONE semantic map;
+        # mixing scenes silently pairs trajectories with the wrong image
+        raise ValueError(
+            f"capture_activations expects one scene, got "
+            f"{sorted(df_scene.sceneId.unique())}; filter df (e.g. "
+            f"--given_meta_ids of a single scene) first")
     batches = model.prepare_data(df_scene, image_path, "test")
     batch = batches[0]
     traj = jnp.asarray(np.concatenate(
@@ -90,6 +98,12 @@ def main():
     focus = get_meta_ids_focus(df_test, given_meta_ids=args.given_meta_ids,
                                random_n=args.random_n)
     df_test = df_test[df_test.metaId.isin(focus)]
+    if df_test.sceneId.nunique() > 1:
+        # activations are captured against one scene image; keep the first
+        # scene's trajectories (pass --given_meta_ids to pick another)
+        scene = df_test.sceneId.iloc[0]
+        print(f"Multiple scenes in focus set; restricting to '{scene}'")
+        df_test = df_test[df_test.sceneId == scene]
 
     ckpts, ckpts_name, is_sep = config_lib.get_ckpts_and_names(
         args.ckpts, args.ckpts_name, args.pretrained_ckpt,

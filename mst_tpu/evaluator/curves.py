@@ -65,7 +65,7 @@ def split_runs(text):
         elif best is not None:
             stop_epoch = int(best.group(1))
         else:
-            stop_epoch = int(curve.val_ade.idxmin())
+            stop_epoch = int(curve.epoch.iloc[int(curve.val_ade.idxmin())])
         metric = re.search(_AVG_RE, msg)
         seed = re.search(r"Seed_(\d+)", experiment)
         tn = re.search(r"__([A-Za-z0-9_.\[\]]+?)__TrN", experiment)
@@ -74,7 +74,7 @@ def split_runs(text):
         runs.append({
             "experiment": experiment,
             "curve": curve,
-            "stop_epoch": min(stop_epoch, len(curve) - 1),
+            "stop_epoch": min(stop_epoch, int(curve.epoch.iloc[-1])),
             "ade": round(float(metric.group(1)), 2) if metric else None,
             "fde": round(float(metric.group(2)), 2) if metric else None,
             "seed": int(seed.group(1)) if seed else None,
@@ -111,13 +111,17 @@ def plot_curves(runs, out_path="figures/training_curve/curve.png",
             val_ade = moving_average(val_ade, w, box_loc=box_loc)
             val_fde = moving_average(val_fde, w, box_loc=box_loc)
         e = run["stop_epoch"]
+        # stop_epoch is an EPOCH NUMBER; map it to the row index (resumed
+        # logs start mid-run, so epoch != position)
+        epochs = c.epoch.to_numpy()
+        ei = int(np.clip(np.searchsorted(epochs, e), 0, len(epochs) - 1))
         for ax, smoothed, raw, train in (
                 (axes[0], val_ade, c.val_ade, c.train_ade),
                 (axes[1], val_fde, c.val_fde, c.train_fde)):
             p = ax.plot(c.epoch[start:], smoothed[start:], lw=1,
                         label=_run_label(run) if ax is axes[1] else None)
             color = p[-1].get_color()
-            ax.scatter(e, smoothed[e], c=color, marker="*")
+            ax.scatter(epochs[ei], smoothed[ei], c=color, marker="*")
             if show_raw_val:
                 ax.plot(c.epoch[start:], raw[start:], lw=0.5, alpha=0.5,
                         c=color)

@@ -38,30 +38,37 @@ def swap_importance(model, df_test, image_path, pretrained_flat, tuned_flat,
     Returns a DataFrame [group, n_param, ade, fde] plus baseline rows
     'none' (tuned as-is) and 'all' (fully swapped).
     """
-    rows = []
+    from mst_tpu.train.checkpoints import overlay_checkpoint
 
-    def run(flat, name):
-        model.model_params = unflatten_dict(dict(flat))
+    rows = []
+    # overlay onto the model's full tree so subtrees absent from the flat
+    # checkpoints (the segmentation backbone, which converted/released
+    # checkpoints exclude) survive every swap instead of being dropped
+    template = model.model_params
+
+    def run(flat, name, swapped_paths):
+        model.model_params = overlay_checkpoint(template, dict(flat))
         set_random_seeds(seed)
         ade, fde, _, _ = model.test(df_test, image_path)
-        n = sum(int(np.asarray(v).size) for v in flat.values())
+        n = sum(int(np.asarray(flat[p]).size) for p in swapped_paths)
         rows.append({"group": name, "n_param": n, "ade": ade, "fde": fde})
 
     base = dict(tuned_flat if direction == "tuned_to_pretrained"
                 else pretrained_flat)
     other = (pretrained_flat if direction == "tuned_to_pretrained"
              else tuned_flat)
-    run(base, "none")
+    run(base, "none", [])
     for group, paths in group_paths(base, depth).items():
         swapped = dict(base)
-        changed = False
+        changed = []
         for p in paths:
             if p in other:
                 swapped[p] = other[p]
-                changed = True
+                changed.append(p)
         if changed:
-            run(swapped, group)
-    run({**base, **other}, "all")
+            run(swapped, group, changed)
+    all_paths = [p for p in other if p in base]
+    run({**base, **other}, "all", all_paths)
     return pd.DataFrame(rows)
 
 

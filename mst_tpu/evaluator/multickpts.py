@@ -87,6 +87,32 @@ def compare_checkpoints(params, df_test, image_path, ckpts, ckpts_name,
     return df_result, trajs_by_ckpt
 
 
+def plot_prediction_overlays(df_result, trajs_by_ckpt, raw_images, params,
+                             out_dir="figures/prediction"):
+    """Per-scene observed/groundtruth/per-checkpoint prediction overlays on
+    the RAW scene image (reference evaluate_multickpts.py:79-86 ->
+    plot_prediction); trajectories are already in raw pixels."""
+    from mst_tpu.evaluator.visualization import plot_obs_pred_trajs
+
+    per_ckpt = {}
+    meta_ids = None
+    gt = None
+    for name, list_trajs in trajs_by_ckpt.items():
+        t = list_trajs[0]  # round 0
+        per_ckpt[name] = np.concatenate(t["prediction"])
+        if meta_ids is None:
+            meta_ids = np.concatenate(t["metaId"])
+            gt = np.concatenate(t["groundtruth"])
+    scene_of = dict(zip(df_result.metaId, df_result.sceneId))
+    for scene in sorted({scene_of[m] for m in meta_ids if m in scene_of}):
+        sel = np.array([scene_of.get(m) == scene for m in meta_ids])
+        dict_trajs = {"gt": gt[sel]}
+        dict_trajs.update({n: p[sel] for n, p in per_ckpt.items()})
+        plot_obs_pred_trajs(raw_images[scene], dict_trajs, out_dir=out_dir,
+                            name=f"{scene}__predictions",
+                            obs_len=int(params["obs_len"]))
+
+
 def main():
     parser = config_lib.get_parser(False)
     parser.add_argument("--given_meta_ids", default=None, type=int,
@@ -115,9 +141,25 @@ def main():
     ckpts, ckpts_name, is_sep = config_lib.get_ckpts_and_names(
         args.ckpts, args.ckpts_name, args.pretrained_ckpt, args.tuned_ckpts)
     folder = f"{args.seed}__{'_'.join(args.dataset_path.split('/'))}"
-    compare_checkpoints(params, df_test, image_path, ckpts, ckpts_name,
-                        is_sep, args.n_round, args.seed,
-                        out_dir=f"csv/comparison/{folder}")
+    # load + decode the scene images ONCE; compare_checkpoints passes them
+    # to every Experiment via the images override instead of re-reading and
+    # re-preprocessing them per checkpoint
+    from mst_tpu.data import images as images_lib
+    from mst_tpu.train.trainer import _IMAGE_FILES
+
+    dataset_name = params["dataset_name"].lower()
+    raw_images = images_lib.load_images(
+        df_test.sceneId.unique(), image_path,
+        _IMAGE_FILES.get(dataset_name, "reference.jpg"),
+        params.get("use_raw_data", False), dataset_name == "eth")
+    df_result, trajs_by_ckpt = compare_checkpoints(
+        params, df_test, image_path, ckpts, ckpts_name, is_sep,
+        args.n_round, args.seed, out_dir=f"csv/comparison/{folder}",
+        images=raw_images)
+    if args.viz:
+        plot_prediction_overlays(df_result, trajs_by_ckpt, raw_images,
+                                 params, out_dir=f"figures/prediction/"
+                                                 f"{folder}")
 
 
 if __name__ == "__main__":

@@ -186,15 +186,18 @@ def main():
     sd = torch.load(args.src, map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
+    # normalize so the BN-state sidecar never collides with the params
+    # archive (np.savez appends .npz itself for extension-less paths)
+    dst = args.dst if args.dst.endswith(".npz") else args.dst + ".npz"
     if args.kind == "ynet":
         params, state = convert_torch_ynet(sd, args.position)
-        np.savez(args.dst, **params)
+        np.savez(dst, **params)
         if state:
-            np.savez(args.dst.replace(".npz", "_state.npz"), **state)
+            np.savez(dst[:-len(".npz")] + "_state.npz", **state)
     else:
         params = convert_torch_segmentation(sd, args.activation)
-        np.savez(args.dst, **params)
-    print(f"converted {len(sd)} torch tensors -> {args.dst}")
+        np.savez(dst, **params)
+    print(f"converted {len(sd)} torch tensors -> {dst}")
 
 
 if __name__ == "__main__":

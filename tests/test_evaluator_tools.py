@@ -88,6 +88,31 @@ def test_swap_importance(setup):
     out = swap_importance(model, df, None, pretrained, tuned, depth=1)
     assert {"group", "n_param", "ade", "fde"} <= set(out.columns)
     assert len(out) >= 3
+    # n_param counts the SWAPPED group's parameters, not the whole model
+    by_group = out.set_index("group").n_param
+    assert by_group["none"] == 0
+    total = sum(int(np.asarray(v).size) for v in tuned.values())
+    assert 0 < by_group["encoder"] < total
+    assert by_group["all"] == total  # every path swapped at depth 1
+    # the swap must preserve subtrees absent from the flat checkpoints
+    assert isinstance(model.model_params, dict)
+
+
+def test_compare_checkpoints_viz(setup):
+    from mst_tpu.evaluator.multickpts import (compare_checkpoints,
+                                              plot_prediction_overlays)
+
+    tmp, df, images, base_path, delta_path, ft_params = setup
+    df_result, trajs = compare_checkpoints(
+        ft_params, df, None, [base_path, delta_path],
+        ["OODG", "mosa_2(8)"], [False, True], n_round=1, seed=1,
+        images=images)
+    out_dir = str(tmp / "viz")
+    plot_prediction_overlays(df_result, trajs, images, ft_params,
+                             out_dir=out_dir)
+    import os
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(pngs) == df.sceneId.nunique()
 
 
 def test_log_scrapers():
