@@ -250,29 +250,56 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def _with_deadline(fn, seconds, what):
+    """Run fn() with a SIGALRM deadline; None on timeout/failure.
+
+    The tunneled-TPU compile/execute service occasionally hangs a request
+    indefinitely; the headline bf16 leg runs unguarded first (its programs
+    are what the bench is for), and the secondary legs degrade gracefully
+    so ONE JSON line always prints."""
+    import signal
+
+    def raise_timeout(signum, frame):
+        raise TimeoutError(what)
+
+    old = signal.signal(signal.SIGALRM, raise_timeout)
+    signal.alarm(int(seconds))
+    try:
+        return fn()
+    except Exception as exc:  # noqa: BLE001 — degrade, never die
+        _log(f"{what} skipped: {type(exc).__name__}: {exc}")
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     t0 = time.perf_counter()
-    f32 = measure_jax()
-    _log(f"jax f32 measured in {time.perf_counter() - t0:.1f}s: {f32}")
-    t0 = time.perf_counter()
-    bf16 = measure_jax(compute_dtype="bfloat16")
+    bf16 = measure_jax(compute_dtype="bfloat16")  # headline leg, unguarded
     _log(f"jax bf16 measured in {time.perf_counter() - t0:.1f}s: {bf16}")
     t0 = time.perf_counter()
-    base = get_baseline()
+    f32 = _with_deadline(measure_jax, 1200, "f32 leg")
+    _log(f"jax f32 measured in {time.perf_counter() - t0:.1f}s: {f32}")
+    t0 = time.perf_counter()
+    base = _with_deadline(get_baseline, 900, "torch baseline")
     _log(f"baseline ready in {time.perf_counter() - t0:.1f}s: {base}")
     # headline: the faster dtype (bf16 parity is pinned by tests/test_bf16.py)
-    ours = bf16 if (bf16["eval_traj_per_sec"]
-                    > f32["eval_traj_per_sec"]) else f32
-    vs = ours["eval_traj_per_sec"] / base["eval_traj_per_sec"]
+    ours = bf16
+    if f32 and f32["eval_traj_per_sec"] > bf16["eval_traj_per_sec"]:
+        ours = f32
     line = {
         "metric": "eval_traj_per_sec",
         "value": round(ours["eval_traj_per_sec"], 3),
         "unit": "trajectories/sec (K=20 multi-goal eval, SDD-scale, "
                 f"{ours['compute_dtype']})",
-        "vs_baseline": round(vs, 3),
         "train_traj_per_sec": round(ours["train_traj_per_sec"], 3),
-        "eval_traj_per_sec_f32": round(f32["eval_traj_per_sec"], 3),
     }
+    if base:
+        line["vs_baseline"] = round(
+            ours["eval_traj_per_sec"] / base["eval_traj_per_sec"], 3)
+    if f32:
+        line["eval_traj_per_sec_f32"] = round(f32["eval_traj_per_sec"], 3)
     for k in ("eval_tflops_per_sec", "eval_pct_peak_bf16",
               "train_tflops_per_sec", "train_pct_peak_bf16"):
         if k in ours:
