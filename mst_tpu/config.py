@@ -143,10 +143,16 @@ def get_params(args=None, config_filename=None, overrides=None) -> dict:
 def ynet_config(params: dict) -> YNetConfig:
     """Lift the flat params dict into the model config."""
     seg_fp = params.get("segmentation_model_fp")
+    has_backbone = bool(seg_fp and os.path.exists(seg_fp))
+    n_sem = params["n_semantic_classes"]
+    if params.get("use_features_only", False) and has_backbone:
+        # the feature-only backbone emits its decoder feature map (16 ch)
+        # instead of class probabilities (reference ynet.py:503-505)
+        n_sem = 16
     return YNetConfig(
         obs_len=params["obs_len"],
         pred_len=params["pred_len"],
-        n_semantic_classes=params["n_semantic_classes"],
+        n_semantic_classes=n_sem,
         encoder_channels=tuple(params["encoder_channels"]),
         decoder_channels=tuple(params["decoder_channels"]),
         waypoints=tuple(params["waypoints"]),
@@ -155,7 +161,7 @@ def ynet_config(params: dict) -> YNetConfig:
         network=params.get("network") or "original",
         n_fusion=params.get("n_fusion"),
         use_features_only=params.get("use_features_only", False),
-        segmentation=("unet" if seg_fp and os.path.exists(seg_fp) else None),
+        segmentation=("unet" if has_backbone else None),
     )
 
 

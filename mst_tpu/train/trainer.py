@@ -210,7 +210,10 @@ class Experiment:
         return cache[batch.scene_id]
 
     def _step_config(self, eval_k_chunk=None, segment_in_step=False,
-                     segment_train_mode=False):
+                     segment_train_mode=False, for_validation=False):
+        """for_validation forces TTST/CWS off: the reference hard-codes both
+        False for the per-epoch validation pass (models/trainer.py:230-235)
+        regardless of the config's test-time settings."""
         p = self.params
         return steps_lib.StepConfig(
             obs_len=p["obs_len"], pred_len=p["pred_len"],
@@ -221,9 +224,9 @@ class Experiment:
             resize_factor=float(p["resize_factor"]),
             temperature=float(p["temperature"]),
             n_goal=int(p["n_goal"]), n_traj=int(p["n_traj"]),
-            use_ttst=bool(p.get("use_TTST", False)),
-            rel_threshold=float(p.get("rel_threshold", 0.01)),
-            use_cws=bool(p.get("use_CWS", False)),
+            use_ttst=bool(p.get("use_TTST", False)) and not for_validation,
+            rel_threshold=float(p.get("rel_threshold", 0.002)),
+            use_cws=bool(p.get("use_CWS", False)) and not for_validation,
             cws_params=p.get("CWS_params"),
             eval_k_chunk=int(eval_k_chunk if eval_k_chunk is not None
                              else p.get("eval_k_chunk", 0)),
@@ -256,6 +259,20 @@ class Experiment:
             df_train, train_image_path, "train",
             augment=p.get("augment", False), rng=rng)
         val_batches = self.prepare_data(df_val, val_image_path, "val")
+        if p["dataset_name"].lower() == "eth":
+            # the reference approximates ETH validation by breaking out of
+            # the scene loop once batch_size * n_scenes exceeds 30
+            # (evaluate.py:104-107) — one epoch's full validation "takes
+            # really long"; reproduce the same scene budget
+            n_scenes = max(1, 30 // max(int(p["batch_size"]), 1))
+            seen, keep = [], []
+            for b in val_batches:
+                if b.scene_id not in seen:
+                    if len(seen) == n_scenes:
+                        break
+                    seen.append(b.scene_id)
+                keep.append(b)
+            val_batches = keep
 
         mask = self._trainable_mask()
         n_trainable = freeze_lib.count_trainable(mask, self.model_params)
@@ -278,7 +295,8 @@ class Experiment:
         train_step = steps_lib.make_train_step(
             self.mcfg, self._step_config(segment_in_step=segment_in_step),
             optimizer)
-        eval_step = steps_lib.make_eval_step(self.mcfg, self._step_config())
+        eval_step = steps_lib.make_eval_step(
+            self.mcfg, self._step_config(for_validation=True))
         e_unfreeze = self._e_unfreeze()
         unfreeze_step = None  # built lazily at the boundary
 
@@ -354,7 +372,6 @@ class Experiment:
 
             seg_cache = {}
             rng.shuffle(train_batches)
-            ade_sum = fde_sum = loss_sum = n_sum = 0.0
             raw_sem = segment_in_step or in_unfreeze
 
             def make_db(batch):
@@ -362,24 +379,30 @@ class Experiment:
                     batch, self._semantic_for(batch, seg_cache, raw=raw_sem))
 
             # double-buffered host->device transfer (parallel/hostdata.py):
-            # batch i+1's device_puts are enqueued while step i computes
-            for bi, db in enumerate(
-                    hostdata.prefetch_to_device(train_batches, make_db)):
+            # batch i+1's device_puts are enqueued while step i computes.
+            # Metric scalars stay ON DEVICE during the epoch — a float()
+            # per step forces a host sync that serializes dispatch and
+            # idles the chip for the Python latency each step.
+            step_metrics = []
+            for db in hostdata.prefetch_to_device(train_batches, make_db):
                 trainable, state, opt_state, metrics = step(
                     trainable, frozen, state, opt_state, db)
-                loss_b = float(metrics["loss"])
-                if not np.isfinite(loss_b):
-                    # fail fast with context instead of training on garbage
-                    # (SURVEY §5: NaN/inf guards replace torch sanitizers)
-                    raise FloatingPointError(
-                        f"non-finite loss {loss_b} at epoch {e}, "
-                        f"scene-batch {bi} (lr={p['lr']}, "
-                        f"loss_scale={p.get('loss_scale')}); inspect the "
-                        f"input data or lower --lr")
-                ade_sum += float(metrics["ade_sum"])
-                fde_sum += float(metrics["fde_sum"])
-                loss_sum += loss_b
-                n_sum += float(metrics["n"])
+                step_metrics.append(metrics)
+            step_metrics = jax.device_get(step_metrics)  # one epoch sync
+            losses = np.asarray([m["loss"] for m in step_metrics])
+            if not np.isfinite(losses).all():
+                # fail fast with context instead of training on garbage
+                # (SURVEY §5: NaN/inf guards replace torch sanitizers)
+                bi = int(np.flatnonzero(~np.isfinite(losses))[0])
+                raise FloatingPointError(
+                    f"non-finite loss {losses[bi]} at epoch {e}, "
+                    f"scene-batch {bi} (lr={p['lr']}, "
+                    f"loss_scale={p.get('loss_scale')}); inspect the "
+                    f"input data or lower --lr")
+            ade_sum = float(sum(m["ade_sum"] for m in step_metrics))
+            fde_sum = float(sum(m["fde_sum"] for m in step_metrics))
+            loss_sum = float(losses.sum())
+            n_sum = float(sum(m["n"] for m in step_metrics))
             meter.update(n_sum, len(train_batches))
             train_ade = ade_sum / max(n_sum, 1)
             train_fde = fde_sum / max(n_sum, 1)
@@ -424,9 +447,9 @@ class Experiment:
                 best_snapshot = current
                 if not fine_tune:
                     config_lib.ensure_dir(p["ckpt_path"])
-                    self._save_full_or_delta(
+                    self.save_params(
                         f'{p["ckpt_path"]}/{experiment_name}_weights.npz',
-                        mask)
+                        mask=mask)
 
             if (e + 1) % int(p.get("save_every_n", 10)) == 0:
                 config_lib.ensure_dir(p["ckpt_path"])
@@ -565,17 +588,6 @@ class Experiment:
                 ckpt_lib.overlay_checkpoint(trainable, snap_flat)))
         return restored, opt_state, int(meta["epoch"]), extras
 
-    def _save_full_or_delta(self, path, mask):
-        train_net = self.params.get("train_net", "train")
-        if train_net in ("all", "train"):
-            ckpt_lib.save_checkpoint(path, self.model_params,
-                                     metadata=self._ckpt_metadata())
-        else:
-            trainable, _ = freeze_lib.split_params(self.model_params, mask)
-            ckpt_lib.save_checkpoint(path, trainable,
-                                     metadata=self._ckpt_metadata(),
-                                     exclude_segmentation=False)
-
     # -- evaluation (reference trainer.py:295-352) ---------------------------
     def _evaluate(self, batches, eval_step, key, collect_preds=False,
                   collect_samples=False):
@@ -704,17 +716,23 @@ class Experiment:
 
         sem_key = jax.random.fold_in(key, 2)
 
+        def adapt(semantic):
+            return ynet_lib.adapt_semantic(self.model_params, self.mcfg,
+                                           semantic)
+
         def run(scene, semantic, obs_map):
             """semantic=None -> derive from scene (keeps scene grads
-            flowing through the backbone); else use the given semantic."""
+            flowing through the backbone AND the semantic adapter); else
+            `semantic` is the POST-adapter map — the reference adds input
+            noise and takes gradients after adapt_semantic
+            (trainer.py:461-474), so noise must not pass through the
+            adapter."""
             if semantic is None:
-                semantic = segment(scene)
+                semantic = adapt(segment(scene))
             if noisy_std_frac is not None and "semantic" in set_input:
                 std = noisy_std_frac * (semantic.max() - semantic.min())
                 semantic = semantic + std * jax.random.normal(
                     sem_key, semantic.shape)
-            semantic = ynet_lib.adapt_semantic(self.model_params, self.mcfg,
-                                               semantic)
             semantic_b = jnp.broadcast_to(
                 semantic, (traj.shape[0],) + semantic.shape[1:])
             features, _ = ynet_lib.pred_features(
@@ -733,7 +751,7 @@ class Experiment:
                                         gt_map) * p["loss_scale"]
             return goal_loss, traj_loss, pred_goal_map, pred_traj_map
 
-        semantic_in = segment(scene_img)
+        semantic_in = adapt(segment(scene_img))  # post-adapter probe input
         goal_loss, traj_loss, pred_goal_map, pred_traj_map = run(
             scene_img, semantic_in, observed_map)
 

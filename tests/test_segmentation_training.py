@@ -137,3 +137,28 @@ def test_e_unfreeze_disabled_keeps_state_clean(tmp_path, dataset):
     assert exp._e_unfreeze() is None
     exp.train(df_train, df_val, None, None, "no_unfreeze")
     assert "segmentation_bn" not in exp.model_state
+
+
+def test_use_features_only_sets_16_semantic_channels(tmp_path):
+    """With a feature-only backbone the encoder must be built for the
+    backbone's 16 decoder feature channels, not the class count
+    (reference ynet.py:503-505)."""
+    import numpy as np
+
+    from mst_tpu import config as config_lib
+
+    # ynet_config only checks the file exists; a stub npz suffices
+    seg_fp = str(tmp_path / "seg.npz")
+    np.savez(seg_fp, dummy=np.zeros(1))
+
+    p = config_lib.get_params(overrides=dict(
+        obs_len=4, pred_len=8, waypoints=[7], n_semantic_classes=6,
+        encoder_channels=[8, 8, 16, 16, 16],
+        decoder_channels=[16, 16, 16, 8, 8], use_features_only=True,
+        segmentation_model_fp=seg_fp))
+    mcfg = config_lib.ynet_config(p)
+    assert mcfg.n_semantic_classes == 16
+    assert mcfg.segmentation == "unet"
+    # without the backbone the class count stays untouched
+    p2 = dict(p, segmentation_model_fp=None)
+    assert config_lib.ynet_config(p2).n_semantic_classes == 6
