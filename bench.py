@@ -135,10 +135,10 @@ def _program_flops(lowerable, *args):
             return flops
     except Exception:
         pass
-    try:
-        return _flops_of(lowerable.lower(*args).compile().cost_analysis())
-    except Exception:
-        return None
+    # no compile() last resort: a full backend compile of the unpacked
+    # reference programs can hang for minutes on the tunneled remote
+    # compiler — dropping the MFU fields beats wedging the headline leg
+    return None
 
 
 def measure_jax(n_iter=20, compute_dtype="float32"):

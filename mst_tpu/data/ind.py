@@ -70,10 +70,19 @@ def load_and_window_ind(step, window_size, stride, scenes=(1, 2, 3, 4),
                         path="inD-dataset-v1.0/data", recordings=None):
     """reference inD_dataset.py:73-107 (inD tracks are continuous, so no
     fragment splitting). Meter->pixel via orthoPxToMeter * 12."""
+    from mst_tpu import native
+
     df = load_raw_ind(path=path, scenes=scenes, recordings=recordings)
-    df = downsample(df, step=step)
-    df = filter_short_trajectories(df, threshold=window_size)
-    df = sliding_window(df, window_size=window_size, stride=stride)
+    # fused native windowing when available (no fragment splitting for the
+    # continuous inD tracks); pandas fallback keeps identical output
+    fast = native.load_and_window_native(df, step, window_size, stride,
+                                         split_fragments=False)
+    if fast is not None:
+        df = fast
+    else:
+        df = downsample(df, step=step)
+        df = filter_short_trajectories(df, threshold=window_size)
+        df = sliding_window(df, window_size=window_size, stride=stride)
     df["recId"] = df["sceneId"].copy()
     df["sceneId"] = df["recId"].map(REC2SCENE)
     scale = np.where(df.sceneId == "scene1", 0.0127 * 12, 0.00814 * 12)

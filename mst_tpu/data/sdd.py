@@ -52,8 +52,19 @@ def load_raw_sdd(path):
 
 
 def load_and_window_sdd(path, step, window_size, stride):
-    """reference sdd_dataset.py:44-50."""
+    """reference sdd_dataset.py:44-50.
+
+    The split/downsample/filter/window chain runs through the fused native
+    kernel when available (mst_tpu.native, single pass over ~10M rows;
+    parity with the pandas pipeline pinned by tests/test_native.py) and
+    falls back to the pandas stages otherwise."""
+    from mst_tpu import native
+
     df = load_raw_sdd(path)
+    fast = native.load_and_window_native(df, step, window_size, stride,
+                                         split_fragments=True)
+    if fast is not None:
+        return fast
     df = split_fragmented(df)
     df = downsample(df, step=step)
     df = filter_short_trajectories(df, threshold=window_size)

@@ -41,14 +41,10 @@ def get_meta_ids_focus(df=None, given_meta_ids=None, given_csv=None,
 
 
 def restore(params, is_separated, base_ckpt, separated_ckpt=None):
-    if not is_separated:
-        model = Experiment(params)
-        model.load_params(base_ckpt)
-    else:
-        updated = config_lib.update_params_from_ckpt(separated_ckpt, params)
-        model = Experiment(updated)
-        model.load_separated_params(base_ckpt, separated_ckpt)
-    return model
+    """Alias of trainer.restore_model (reference utils/util.py:138-147)."""
+    from mst_tpu.train.trainer import restore_model
+
+    return restore_model(params, is_separated, base_ckpt, separated_ckpt)
 
 
 def compare_checkpoints(params, df_test, image_path, ckpts, ckpts_name,

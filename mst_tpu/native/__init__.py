@@ -24,8 +24,13 @@ def _build():
 
 
 def load_lib():
-    """Load (building on first use) the native library, or None."""
+    """Load (building on first use) the native library, or None.
+
+    A failed build is cached too (sentinel False) so per-call users don't
+    re-spawn the compiler on every invocation of the numpy fallback."""
     global _lib
+    if _lib is False:
+        return None
     if _lib is not None:
         return _lib
     try:
@@ -33,6 +38,7 @@ def load_lib():
             _build()
         lib = ctypes.CDLL(str(_SO))
     except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+        _lib = False
         return None
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)

@@ -24,10 +24,8 @@ import numpy as np
 
 import jax
 
-from mst_tpu.parallel.mesh import data_sharding, replicated
-
-# scene-level keys replicate; everything else shards over 'data' on axis 0
-REPLICATED_KEYS = ("semantic", "image", "homography")
+from mst_tpu.parallel.mesh import (REPLICATED_KEYS, data_sharding,
+                                   replicated)
 
 
 def local_slice(n_global: int, process_index=None, process_count=None):
@@ -36,7 +34,8 @@ def local_slice(n_global: int, process_index=None, process_count=None):
     Contiguous block partition: NamedSharding(P('data')) lays shards out in
     device order, and jax.Array assembles per-process blocks in
     process-index order, so host h owns block h. n_global must divide by
-    process_count (pad_batch_to_multiple guarantees it).
+    process_count (trainer.prepare_data rounds batch_size up to mesh.size;
+    mesh.pad_batch_to_multiple covers ad-hoc batches).
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
@@ -63,6 +62,9 @@ def shard_batch_global(mesh, local_batch: dict, global_batch_size=None):
     Every process calls this with ITS rows of the batch; the returned
     arrays are globally-sharded (data axis) / replicated (scene arrays)
     without any host ever materializing the full global batch.
+    global_batch_size, when given, pins the assembled batch axis so a
+    local/global row mismatch fails HERE with a clear message instead of
+    as a downstream shape error.
     """
     if mesh is None:
         return local_batch
@@ -71,8 +73,19 @@ def shard_batch_global(mesh, local_batch: dict, global_batch_size=None):
     out = {}
     for k, v in local_batch.items():
         v = np.asarray(v)
-        sh = rep if k in REPLICATED_KEYS else ds
-        out[k] = jax.make_array_from_process_local_data(sh, v)
+        if k in REPLICATED_KEYS:
+            out[k] = jax.make_array_from_process_local_data(rep, v)
+            continue
+        global_shape = None
+        if global_batch_size is not None:
+            expect = global_batch_size // jax.process_count()
+            if v.shape[0] != expect:
+                raise ValueError(
+                    f"batch key '{k}': {v.shape[0]} local rows but "
+                    f"global_batch_size={global_batch_size} over "
+                    f"{jax.process_count()} processes expects {expect}")
+            global_shape = (global_batch_size,) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(ds, v, global_shape)
     return out
 
 

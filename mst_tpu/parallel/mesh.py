@@ -14,6 +14,11 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# scene-level batch keys replicate across the mesh; everything else shards
+# over the batch axis. Shared by shard_batch, pad_batch_to_multiple and the
+# multi-host path (parallel/hostdata.py) so the two paths can never diverge.
+REPLICATED_KEYS = ("semantic", "image", "homography")
+
 
 def make_mesh(mesh_shape=None, axis_names=("data",), devices=None):
     """Build a Mesh; default = all devices on one 'data' axis."""
@@ -35,23 +40,31 @@ def make_hybrid_mesh(n_slices=None, per_slice=None,
     replicate, so the gradient all-reduce decomposes hierarchically: XLA
     reduce-scatters over ICI first, crosses DCN once with the per-slice
     partial, then all-gathers over ICI — the standard data-parallel pod
-    recipe. On hardware with slice metadata the device order comes from
-    mesh_utils.create_hybrid_device_mesh (DCN axis outermost, so 'replica'
-    neighbors differ by slice, never by ICI hop); on single-slice or CPU
-    meshes it degrades to a row-major reshape with identical program
-    semantics (collectives just ride one fabric).
+    recipe. On hardware with slice metadata each mesh row takes its chips
+    from ONE slice (so 'replica' neighbors differ by slice, never by ICI
+    hop), including sub-pod shapes that use only part of each slice; on
+    single-slice or CPU meshes it degrades to a row-major reshape with
+    identical program semantics (collectives just ride one fabric).
     """
     devices = devices if devices is not None else jax.devices()
-    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
+    by_slice = {}
+    for d in devices:
+        by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    slice_ids = sorted(by_slice)
     if n_slices is None:
         n_slices = len(slice_ids)
     if per_slice is None:
         per_slice = len(devices) // n_slices
-    if len(slice_ids) == n_slices > 1:
-        from jax.experimental import mesh_utils
-
-        dev_array = mesh_utils.create_hybrid_device_mesh(
-            (1, per_slice), (n_slices, 1), devices=devices)
+    if (len(slice_ids) > 1 and n_slices <= len(slice_ids)
+            and all(len(by_slice[s]) >= per_slice
+                    for s in slice_ids[:n_slices])):
+        # slice-aware layout: row r = the first per_slice chips of slice r,
+        # so the 'replica' axis crosses slices (DCN) and 'data' stays
+        # within one slice (ICI). Handles sub-pod shapes too — unlike
+        # create_hybrid_device_mesh, which requires the per-slice shape to
+        # cover every chip of every slice.
+        dev_array = np.asarray(
+            [by_slice[s][:per_slice] for s in slice_ids[:n_slices]])
         return Mesh(dev_array, axis_names)
     n = n_slices * per_slice
     assert n <= len(devices), (n_slices, per_slice, len(devices))
@@ -92,7 +105,7 @@ def shard_batch(mesh, batch: dict):
     rep = replicated(mesh)
     out = {}
     for k, v in batch.items():
-        if k in ("semantic", "image", "homography"):
+        if k in REPLICATED_KEYS:
             out[k] = jax.device_put(v, rep)
         else:
             out[k] = jax.device_put(v, ds)
@@ -107,16 +120,22 @@ def replicate_tree(mesh, tree):
 
 
 def pad_batch_to_multiple(batch: dict, multiple: int):
-    """Pad the trajectory axis so it divides the mesh's data axis; padded
-    rows carry mask=0 so they contribute nothing."""
+    """Pad the trajectory axis so it divides the mesh's total shard count;
+    padded rows carry mask=0 so they contribute nothing. Pads EVERY
+    non-scene key (the same set shard_batch shards), so per-trajectory
+    arrays stay aligned. NOTE: production batches are already sized by the
+    batch_size round-up in trainer.prepare_data; this helper serves ad-hoc
+    batches fed to the sharded steps directly."""
     n = batch["traj"].shape[0]
     rem = (-n) % multiple
     if rem == 0:
         return batch
     out = dict(batch)
-    for k in ("traj", "mask", "meta_ids"):
-        if k in batch:
-            v = batch[k]
-            pad_shape = (rem,) + v.shape[1:]
-            out[k] = np.concatenate([v, np.zeros(pad_shape, v.dtype)], axis=0)
+    for k, v in batch.items():
+        if k in REPLICATED_KEYS:
+            continue
+        pad_shape = (rem,) + np.shape(v)[1:]
+        out[k] = np.concatenate(
+            [np.asarray(v), np.zeros(pad_shape, np.asarray(v).dtype)],
+            axis=0)
     return out

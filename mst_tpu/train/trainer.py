@@ -780,3 +780,18 @@ class Experiment:
         else:
             raise ValueError(f"No support for decision={decision}")
         return out + (grads,) if input_grads else out
+
+
+def restore_model(params, is_separated, base_ckpt, separated_ckpt=None,
+                  mesh=None):
+    """Monolithic vs base+delta checkpoint restore policy
+    (reference utils/util.py:138-147). Shared by test.py and the
+    evaluator CLIs so the separated-restore handling cannot drift."""
+    if not is_separated:
+        model = Experiment(params, mesh=mesh)
+        model.load_params(base_ckpt)
+    else:
+        updated = config_lib.update_params_from_ckpt(separated_ckpt, params)
+        model = Experiment(updated, mesh=mesh)
+        model.load_separated_params(base_ckpt, separated_ckpt)
+    return model

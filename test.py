@@ -6,21 +6,8 @@ import time
 from mst_tpu import config as config_lib
 from mst_tpu.data.splits import prepare_dataset
 from mst_tpu.parallel.mesh import mesh_from_shape
-from mst_tpu.train.trainer import Experiment
+from mst_tpu.train.trainer import restore_model
 from mst_tpu.utils.seeding import set_random_seeds
-
-
-def restore_model(params, is_separated, base_ckpt, separated_ckpt=None,
-                  mesh=None):
-    """reference utils/util.py:138-147."""
-    if not is_separated:
-        model = Experiment(params, mesh=mesh)
-        model.load_params(base_ckpt)
-    else:
-        updated = config_lib.update_params_from_ckpt(separated_ckpt, params)
-        model = Experiment(updated, mesh=mesh)
-        model.load_separated_params(base_ckpt, separated_ckpt)
-    return model
 
 
 def main(args):
@@ -40,6 +27,10 @@ def main(args):
     print(ckpts, ckpts_name)
     mesh = mesh_from_shape(args.mesh_shape)
 
+    # reference-faithful selection (reference test.py:31-40): with multiple
+    # checkpoints only the LAST non-OODG one is tested (the OODG baseline
+    # is evaluator/multickpts.py's job); an all-OODG list would leave
+    # model unset, exactly like the reference.
     model = None
     if len(ckpts_name) == 1:
         model = restore_model(params, is_sep[0], ckpts[0], None, mesh)

@@ -37,6 +37,11 @@ def main(args):
         print("Training from scratch")
 
     if args.init_check:
+        if args.pretrained_ckpt is None:
+            raise ValueError(
+                "--init_check compares an adapter-free twin of a PRETRAINED "
+                "checkpoint (reference train.py:47-59); pass "
+                "--pretrained_ckpt")
         # adapter-free twin must score identically (reference train.py:47-59)
         params_pre = dict(params, position=[])
         pretrained = Experiment(params_pre, mesh=mesh)
