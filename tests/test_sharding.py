@@ -167,3 +167,28 @@ def test_sharded_training_with_prefetch_runs(tmp_path):
                                  df[df.metaId.isin(ids[12:])],
                                  None, None, "prefetch_e2e")
     assert np.isfinite(val_ade).all() and np.isfinite(val_fde).all()
+
+
+def test_shard_batch_global_pins_global_shape():
+    from mst_tpu.parallel import hostdata
+
+    mesh = mesh_lib.make_mesh((8,))
+    batch = {"traj": np.zeros((16, TOTAL_LEN, 2), np.float32),
+             "mask": np.ones(16, np.float32)}
+    out = hostdata.shard_batch_global(mesh, batch, global_batch_size=16)
+    assert out["traj"].shape == (16, TOTAL_LEN, 2)
+    # a mismatched local row count fails upfront with a clear message
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="local rows"):
+        hostdata.shard_batch_global(mesh, batch, global_batch_size=32)
+
+
+def test_pad_batch_pads_every_nonscene_key():
+    batch = {"traj": np.zeros((5, 12, 2), np.float32),
+             "mask": np.ones(5, np.float32),
+             "meta_ids": np.arange(5),
+             "extra_per_traj": np.ones((5, 3), np.float32),
+             "semantic": np.ones((1, 8, 8, 3), np.float32)}
+    out = mesh_lib.pad_batch_to_multiple(batch, 8)
+    assert out["extra_per_traj"].shape[0] == 8
+    assert out["semantic"].shape[0] == 1  # scene-level keys untouched
