@@ -87,6 +87,16 @@ def main():
                              " trainer.py:468-484 + plot_saliency_maps)")
     parser.add_argument("--plot_layer_activations", action="store_true",
                         help="per-layer channel-mean activation figures")
+    parser.add_argument("--goal_output", action="store_true",
+                        help="per-sample goal-decoder diff figures vs the"
+                             " first checkpoint (reference plot_goal_output,"
+                             " visualization.py:128-257)")
+    parser.add_argument("--inhance_threshold", default=None, type=float,
+                        help="hollow-cmap transparency threshold for"
+                             " --goal_output")
+    parser.add_argument("--white_bg", action="store_true")
+    parser.add_argument("--no_scene_img", action="store_true",
+                        help="--goal_output single-panel overlay variant")
     args = parser.parse_args()
     set_random_seeds(args.seed)
     params = config_lib.get_params(args)
@@ -139,6 +149,29 @@ def main():
                                  params.get("temperature", 1.0))
         plot_goal_map(diff[0, ..., -1], args.out_dir,
                       f"{names[0]}_vs_{names[1]}__goal_diff")
+    if args.goal_output and len(names) >= 2:
+        from mst_tpu.data import images as images_lib
+        from mst_tpu.evaluator.visualization import plot_goal_output
+
+        scene = df_test.sceneId.iloc[0]
+        dataset_name = params["dataset_name"].lower()
+        raw = images_lib.load_images(
+            [scene], image_path,
+            "reference.png" if dataset_name == "ind" else "reference.jpg",
+            params.get("use_raw_data", False))
+        # cv2 loads BGR uint8; figures want RGB float
+        images = {scene: raw[scene][..., ::-1].astype(np.float32) / 255.0}
+        # activations are aligned with df_test row order (one row per
+        # timestep, total_len rows per metaId)
+        total_len = params["obs_len"] + params["pred_len"]
+        meta_ids = df_test.metaId.values[::total_len]
+        index = [(int(m), scene) for m in meta_ids]
+        plot_goal_output(
+            acts, index, df_test, images, params["resize_factor"],
+            out_dir=args.out_dir, obs_len=params["obs_len"],
+            display_scene_img=not args.no_scene_img,
+            inhance_threshold=args.inhance_threshold,
+            white_bg=args.white_bg, base_ckpt=names[0])
 
 
 if __name__ == "__main__":

@@ -84,6 +84,37 @@ def extract_epoch_curve(text):
     return pd.DataFrame(rows)
 
 
+def extract_imp_msg(text):
+    """Importance-run stdout -> DataFrame [seed, layer, ade, fde,
+    tuned_ckpt, pretrained_ckpt] (reference utils/extract_log.py:74-97).
+
+    Each importance run echoes its params dict (which contains
+    'save_every_n') followed by interleaved 'Replacing <layer>' lines and
+    'Average performance' blocks; runs are delimited by the params echo.
+    mst_tpu/evaluator/importance.py writes its csv directly, but this
+    scraper lets old-style stdout logs be recovered the same way.
+    """
+    rows = []
+    for msg in re.split("save_every_n", text)[1:]:
+        seed = re.search(r"'seed': (\d+),", msg)
+        pretrained = re.search(r"'pretrained_ckpt': '(.*?)',", msg)
+        tuned = re.search(r"'tuned_ckpts': \['(.*?)'\],", msg)
+        layers = re.findall(r"Replacing (.*?)\n", msg)
+        metrics = re.findall(_AVG_RE, msg)
+        for layer, (ade, fde) in zip(layers, metrics):
+            rows.append({
+                "seed": int(seed.group(1)) if seed else None,
+                "layer": layer,
+                "ade": float(ade),
+                "fde": float(fde),
+                "tuned_ckpt": tuned.group(1) if tuned else None,
+                "pretrained_ckpt": pretrained.group(1) if pretrained else None,
+            })
+    return pd.DataFrame(
+        rows, columns=["seed", "layer", "ade", "fde", "tuned_ckpt",
+                       "pretrained_ckpt"])
+
+
 def write_csv(df, out_path):
     """reference evaluator/write_files.py:8-21."""
     pathlib.Path(out_path).parent.mkdir(parents=True, exist_ok=True)

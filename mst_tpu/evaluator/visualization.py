@@ -587,3 +587,203 @@ def plot_saliency_maps(input_img, grad_input, saliency_name, filename,
     ax.set_title(saliency_name)
     paths.append(_save(fig, out_dir, f"{filename}__overlay", fmt))
     return paths
+
+
+# ---------------------------------------------------------------------------
+# plot_goal_output figure family (reference visualization.py:128-257,576-611)
+# — the per-sample goal-decoder diff maps with hollow/thresholded colormaps
+# that produced the reference's shipped docs/*.jpg figures.
+# ---------------------------------------------------------------------------
+
+def get_ordinary_cmap():
+    """Blues_r-over-Oranges diverging map (reference
+    visualization.py:576-582)."""
+    import matplotlib as mpl
+    top = mpl.colormaps["Blues_r"].resampled(128)
+    bottom = mpl.colormaps["Oranges"].resampled(128)
+    colors = np.vstack((top(np.linspace(0, 1, 128)),
+                        bottom(np.linspace(0, 1, 128))))
+    return mpl.colors.ListedColormap(colors, name="ordinary")
+
+
+def get_hollow_cmap(threshold):
+    """Diverging map whose middle |x| < threshold band is fully transparent
+    and whose wings ramp alpha outward — overlays show only confident
+    increase/decrease regions over the scene image (reference
+    visualization.py:585-602)."""
+    import matplotlib as mpl
+    N = 256
+    cut = int(N * threshold)
+    n_color = N // 2 - cut
+    decrease = mpl.colormaps["Blues_r"].resampled(n_color)
+    increase = mpl.colormaps["Reds"].resampled(n_color)
+    bottom = decrease(np.linspace(0, 0.7, n_color))
+    # alpha ramps: strongest at the extremes, fading toward the hollow band
+    ramp = np.arange(n_color * 0.15, n_color * 1.15) / (n_color * 1.3)
+    bottom[:, -1] = ramp[:n_color][::-1]
+    middle = np.array([[1.0, 1.0, 1.0, 0.0]]).repeat(N - n_color * 2, axis=0)
+    top = increase(np.linspace(0.3, 1, n_color))
+    top[:, -1] = ramp[:n_color]
+    return mpl.colors.ListedColormap(np.vstack((bottom, middle, top)),
+                                     name="hollow")
+
+
+def adjust_cmap(cmap, threshold):
+    """Carve a transparent band out of the middle of an existing cmap
+    (reference visualization.py:605-611)."""
+    import matplotlib as mpl
+    N = 256
+    colors = cmap(np.linspace(0, 1, N))
+    colors[int(N / 2 - N * threshold): int(N / 2 + N * threshold), :] = \
+        [1, 1, 1, 0]
+    return mpl.colors.ListedColormap(colors)
+
+
+def base_img_plot(ax, scene_img, semantic_img=None):
+    """Scene background: grayscale semantic classes if a semantic map is
+    given, else the raw image (reference visualization.py:113-126;
+    semantic_img here is channels-LAST, our framework layout)."""
+    if semantic_img is not None:
+        semantic_class = np.asarray(semantic_img).argmax(axis=-1)
+        img = np.ones(semantic_class.shape)
+        img[semantic_class == 1] = 0.5
+        img[semantic_class == 2] = 0.0
+        im = ax.imshow(img, cmap="gray")
+    else:
+        im = ax.imshow(scene_img)
+    ax.set_xticklabels([])
+    ax.set_yticklabels([])
+    return im
+
+
+def plot_goal_output(ckpts_hook_dict, index, df_test, images, resize_factor,
+                     out_dir="figures/activation", fmt="png", obs_len=8,
+                     display_scene_img=True, inhance_threshold=None,
+                     window=None, white_bg=False, base_ckpt="OODG"):
+    """Per-sample goal-decoder diff figures (reference
+    visualization.py:128-257).
+
+    For every (meta_id, scene_id) in `index` and every goal_decoder layer:
+    channel-mean of (ckpt activation - base_ckpt activation), upsampled by
+    1/resize_factor to raw-image scale, drawn over the scene image with a
+    zero-centered TwoSlopeNorm and either the hollow (thresholded-
+    transparent) or ordinary diverging cmap, plus observation/groundtruth
+    overlays.
+
+    Args:
+      ckpts_hook_dict: {ckpt_name: {layer_name: (N, H, W, C) array}} —
+        capture_activations output per checkpoint (channels-last; the
+        reference's hooks are NCHW).
+      index: list of (meta_id, scene_id), aligned with axis 0 of the
+        activations.
+      df_test: raw-pixel trajectory DataFrame (x, y, metaId columns).
+      images: {scene_id: (H, W, 3) float image} at raw scale (the caller
+        loads them; the reference re-reads reference.jpg/png from
+        image_path and infers resize_factor from the path string).
+      window: optional (x_center, y_center, x_range, ratio, layout) zoom.
+
+    Returns the list of written figure paths.
+    """
+    import matplotlib as mpl
+
+    first = next(iter(ckpts_hook_dict.values()))
+    layer_names = [n for n in first if "goal_decoder" in n]
+    paths = []
+    for i, (meta_id, scene_id) in enumerate(index):
+        for layer_name in layer_names:
+            height, width = first[layer_name].shape[1:3]
+            while height >= 10:
+                height /= 2
+                width /= 2
+            new_out_dir = os.path.join(out_dir, f"{scene_id}__{meta_id}")
+            pathlib.Path(new_out_dir).mkdir(parents=True, exist_ok=True)
+            base_features = np.asarray(
+                ckpts_hook_dict[base_ckpt][layer_name][i], np.float32)
+            for ckpt_name, hook_dict in ckpts_hook_dict.items():
+                if ckpt_name == base_ckpt:
+                    continue
+                features = np.asarray(hook_dict[layer_name][i], np.float32)
+                scene_img = np.asarray(images[scene_id]).copy()
+                black = np.zeros(scene_img.shape[:2] + (3,))
+                if white_bg:
+                    bg = scene_img.mean(axis=2) == 0.0
+                    scene_img[bg] = 1.0
+                    black[bg] = 1.0
+                # channel-mean diff at raw-image scale (reference mean(0)
+                # over the NCHW channel axis == our mean(-1) over NHWC)
+                diff_single = (features - base_features).mean(axis=-1)
+                import cv2
+                diff_single = cv2.resize(
+                    diff_single, (0, 0), fx=1 / resize_factor,
+                    fy=1 / resize_factor, interpolation=cv2.INTER_AREA)
+                diff_single = diff_single[:scene_img.shape[0],
+                                          :scene_img.shape[1]]
+                vmin, vmax = float(diff_single.min()), float(diff_single.max())
+                df_meta = df_test[df_test.metaId == meta_id]
+                if inhance_threshold is not None:
+                    cmap_div = get_hollow_cmap(inhance_threshold)
+                else:
+                    cmap_div = get_ordinary_cmap()
+                if display_scene_img:
+                    fig, axes = plt.subplots(1, 2,
+                                             figsize=(width * 2, height))
+                    axes[0].imshow(scene_img)
+                    ax = axes[1]
+                    ax.imshow(scene_img)
+                    lw, ms = 1, 3
+                    if vmin > 0:
+                        vmin = -1e-5
+                    if vmax < 0:
+                        vmax = 1e-5
+                else:
+                    fig, ax = plt.subplots(1, 1, figsize=(width, height))
+                    ax.imshow(scene_img)
+                    ax.imshow(black, cmap="Greys", alpha=0.4)
+                    lw, ms = 2, 5
+                    if vmin >= 0:
+                        vmin = -1e-5
+                    if vmax <= 0:
+                        vmax = 1e-5
+                ax.plot(df_meta.x.values[:obs_len],
+                        df_meta.y.values[:obs_len], ".-", c="lightgreen",
+                        linewidth=lw, markersize=ms, label="observation")
+                ax.plot(df_meta.x.values[obs_len - 1:],
+                        df_meta.y.values[obs_len - 1:], ".-", c="gold",
+                        linewidth=lw, markersize=ms, label="groundtruth")
+                divnorm = mpl.colors.TwoSlopeNorm(vcenter=0, vmin=vmin,
+                                                  vmax=vmax)
+                ax.imshow(diff_single, cmap=cmap_div, norm=divnorm)
+                for a in fig.axes:
+                    a.set_xticklabels([])
+                    a.set_yticklabels([])
+                    a.set_xticks([])
+                    a.set_yticks([])
+                if display_scene_img:
+                    plt.legend()
+                    plt.subplots_adjust(wspace=0.02, hspace=0.02,
+                                        bottom=0.1, right=0.78, top=0.9)
+                else:
+                    leg = plt.legend(loc="upper left", fontsize=25)
+                    for handle, c in zip(leg.legend_handles,
+                                         ("mediumseagreen", "goldenrod")):
+                        handle.set_color(c)
+                    if window is not None:
+                        x_c, y_c, x_range, ratio, layout = window
+                        if layout == "portrait" and ratio < 1.0:
+                            ratio = 1 / ratio
+                        if layout == "landscape" and ratio > 1.0:
+                            ratio = 1 / ratio
+                        ax.set_xlim(x_c - x_range // 2, x_c + x_range // 2)
+                        ax.set_ylim(y_c - x_range * ratio // 2,
+                                    y_c + x_range * ratio // 2)
+                        ax.invert_yaxis()
+                out_name = f"{ckpt_name}__{layer_name}__diff_single"
+                if display_scene_img:
+                    out_name += "__scene"
+                if inhance_threshold is not None:
+                    out_name += f"__{inhance_threshold}"
+                out_path = os.path.join(new_out_dir, f"{out_name}.{fmt}")
+                fig.savefig(out_path, bbox_inches="tight")
+                plt.close(fig)
+                paths.append(out_path)
+    return paths

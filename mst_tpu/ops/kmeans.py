@@ -7,7 +7,9 @@ squared < tol, with empty clusters re-seeded from a random point).
 
 Here the whole batch is one jitted program: vmap over persons, a
 lax.while_loop over iterations, and the assignment/update steps as matmuls
-(one-hot^T @ X) that ride the MXU.
+(one-hot^T @ X) that ride the MXU. Both distance metrics of the reference
+(kmeans.py:146-180: euclidean, cosine) are supported, plus the
+centers-only inference entry kmeans_predict (kmeans.py:111-143).
 """
 
 import functools
@@ -16,10 +18,29 @@ import jax
 import jax.numpy as jnp
 
 
+def pairwise_sq_dist(a, b):
+    """(N, D) x (K, D) -> (N, K) squared euclidean distances
+    (reference kmeans.py:146-159 pairwise_distance)."""
+    return jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+
+
+def pairwise_cosine(a, b):
+    """(N, D) x (K, D) -> (N, K) cosine distances 1 - cos_sim
+    (reference kmeans.py:162-180 pairwise_cosine; no eps guard there
+    either — zero vectors produce nan exactly like the torch version)."""
+    a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    b = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+    return 1.0 - jnp.sum(a[:, None, :] * b[None, :, :], axis=-1)
+
+
+_DISTANCES = {"euclidean": pairwise_sq_dist, "cosine": pairwise_cosine}
+
+
 def _kmeans_single(key, X, num_clusters: int, tol: float, iter_limit: int,
-                   init_centers=None):
+                   init_centers=None, distance: str = "euclidean"):
     """K-means over X (N, D) -> (assignments (N,), centers (k, D))."""
     N = X.shape[0]
+    pdist = _DISTANCES[distance]
     init_key, loop_key = jax.random.split(key)
     if init_centers is None:
         # initialize: sample k distinct points (kmeans.py:9-19)
@@ -28,14 +49,12 @@ def _kmeans_single(key, X, num_clusters: int, tol: float, iter_limit: int,
         centers0 = X[idx]
     else:
         # resume semantics (kmeans.py:62-68): snap each given center to the
-        # closest data point before iterating
-        d2 = jnp.sum((X[:, None, :] - init_centers[None, :, :]) ** 2, axis=-1)
-        centers0 = X[jnp.argmin(d2, axis=0)]
+        # closest data point (under the chosen metric) before iterating
+        d = pdist(X, init_centers)
+        centers0 = X[jnp.argmin(d, axis=0)]
 
     def assign(centers):
-        # (N, k) squared euclidean distances (kmeans.py:146-159)
-        d2 = jnp.sum((X[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
-        return jnp.argmin(d2, axis=1)
+        return jnp.argmin(pdist(X, centers), axis=1)
 
     def body(carry):
         centers, _, it, key = carry
@@ -60,9 +79,10 @@ def _kmeans_single(key, X, num_clusters: int, tol: float, iter_limit: int,
     return assign(centers), centers
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6))
 def batched_kmeans(key, X, num_clusters: int, tol: float = 1e-3,
-                   iter_limit: int = 1000, init_centers=None):
+                   iter_limit: int = 1000, init_centers=None,
+                   distance: str = "euclidean"):
     """Cluster a batch of point sets.
 
     Args:
@@ -75,6 +95,7 @@ def batched_kmeans(key, X, num_clusters: int, tol: float = 1e-3,
       init_centers: optional (B, k, D) initial centers; when given, each is
         snapped to its nearest data point first (reference kmeans.py:62-68
         "resuming" path). Used by parity tests for deterministic runs.
+      distance: 'euclidean' (TTST) or 'cosine' (reference kmeans.py:146-180).
 
     Returns:
       assignments (B, N) int32, centers (B, k, D) float.
@@ -82,8 +103,30 @@ def batched_kmeans(key, X, num_clusters: int, tol: float = 1e-3,
     keys = jax.random.split(key, X.shape[0])
     if init_centers is None:
         return jax.vmap(
-            lambda k, x: _kmeans_single(k, x, num_clusters, tol, iter_limit)
+            lambda k, x: _kmeans_single(k, x, num_clusters, tol, iter_limit,
+                                        distance=distance)
         )(keys, X)
     return jax.vmap(
-        lambda k, x, c: _kmeans_single(k, x, num_clusters, tol, iter_limit, c)
+        lambda k, x, c: _kmeans_single(k, x, num_clusters, tol, iter_limit,
+                                       c, distance=distance)
     )(keys, X, init_centers)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def kmeans_predict(X, cluster_centers, distance: str = "euclidean"):
+    """Assign points to existing cluster centers (reference
+    kmeans.py:111-143 kmeans_predict).
+
+    Args:
+      X: (N, D) points or (B, N, D) batched point sets.
+      cluster_centers: (k, D) or (B, k, D) to match X.
+      distance: 'euclidean' or 'cosine'.
+
+    Returns:
+      cluster ids, (N,) or (B, N) int32.
+    """
+    pdist = _DISTANCES[distance]
+    if X.ndim == 2:
+        return jnp.argmin(pdist(X, cluster_centers), axis=1)
+    return jax.vmap(lambda x, c: jnp.argmin(pdist(x, c), axis=1))(
+        X, cluster_centers)

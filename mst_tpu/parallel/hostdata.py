@@ -78,7 +78,14 @@ def shard_batch_global(mesh, local_batch: dict, global_batch_size=None):
             continue
         global_shape = None
         if global_batch_size is not None:
-            expect = global_batch_size // jax.process_count()
+            n_proc = jax.process_count()
+            if global_batch_size % n_proc != 0:
+                raise ValueError(
+                    f"global_batch_size={global_batch_size} is not "
+                    f"divisible by process_count={n_proc}; pad the global "
+                    f"batch to a multiple of the process count first "
+                    f"(pad_batch_to_multiple)")
+            expect = global_batch_size // n_proc
             if v.shape[0] != expect:
                 raise ValueError(
                     f"batch key '{k}': {v.shape[0]} local rows but "

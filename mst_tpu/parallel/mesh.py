@@ -8,6 +8,7 @@ the same axis for the folded (K-sample x batch) dimension.
 """
 
 import math
+import warnings
 
 import numpy as np
 
@@ -66,6 +67,17 @@ def make_hybrid_mesh(n_slices=None, per_slice=None,
         dev_array = np.asarray(
             [by_slice[s][:per_slice] for s in slice_ids[:n_slices]])
         return Mesh(dev_array, axis_names)
+    if len(slice_ids) > 1:
+        # numerically fine, but the 'data' (meant-for-ICI) axis may now
+        # span DCN — a large hidden perf cliff on pods. Make misconfigured
+        # launches (per_slice > chips/slice, n_slices > real slices) loud.
+        warnings.warn(
+            f"make_hybrid_mesh({n_slices}x{per_slice}): devices span "
+            f"{len(slice_ids)} slices but the requested shape does not "
+            f"align with them (chips/slice: "
+            f"{ {s: len(v) for s, v in by_slice.items()} }); falling back "
+            f"to a row-major reshape whose 'data' axis may cross DCN",
+            stacklevel=2)
     n = n_slices * per_slice
     assert n <= len(devices), (n_slices, per_slice, len(devices))
     dev_array = np.asarray(devices[:n]).reshape(n_slices, per_slice)

@@ -211,9 +211,10 @@ class Experiment:
 
     def _step_config(self, eval_k_chunk=None, segment_in_step=False,
                      segment_train_mode=False, for_validation=False):
-        """for_validation forces TTST/CWS off: the reference hard-codes both
-        False for the per-epoch validation pass (models/trainer.py:230-235)
-        regardless of the config's test-time settings."""
+        """for_validation forces TTST off but passes use_CWS through: the
+        reference's per-epoch validation call hard-codes only use_TTST=False
+        and forwards the config's use_CWS (models/trainer.py:231-235,
+        'False, use_CWS'), despite its comment claiming both are skipped."""
         p = self.params
         return steps_lib.StepConfig(
             obs_len=p["obs_len"], pred_len=p["pred_len"],
@@ -226,7 +227,7 @@ class Experiment:
             n_goal=int(p["n_goal"]), n_traj=int(p["n_traj"]),
             use_ttst=bool(p.get("use_TTST", False)) and not for_validation,
             rel_threshold=float(p.get("rel_threshold", 0.002)),
-            use_cws=bool(p.get("use_CWS", False)) and not for_validation,
+            use_cws=bool(p.get("use_CWS", False)),
             cws_params=p.get("CWS_params"),
             eval_k_chunk=int(eval_k_chunk if eval_k_chunk is not None
                              else p.get("eval_k_chunk", 0)),
@@ -388,6 +389,12 @@ class Experiment:
                 trainable, state, opt_state, metrics = step(
                     trainable, frozen, state, opt_state, db)
                 step_metrics.append(metrics)
+                # bound the blast radius of a NaN: one host sync per 100
+                # steps (a sync EVERY step would serialize dispatch; the
+                # full guard below still pinpoints the exact batch)
+                if len(step_metrics) % 100 == 0 and not np.isfinite(
+                        float(metrics["loss"])):
+                    break
             step_metrics = jax.device_get(step_metrics)  # one epoch sync
             losses = np.asarray([m["loss"] for m in step_metrics])
             if not np.isfinite(losses).all():

@@ -88,6 +88,7 @@ def load_reference():
 
     import utils.data_utils as ref_data_utils
     import utils.evaluate as ref_evaluate
+    import utils.extract_log as ref_extract_log
     import utils.image_utils as ref_image_utils
     import utils.kmeans as ref_kmeans
     import utils.softargmax as ref_softargmax
@@ -96,6 +97,7 @@ def load_reference():
     ns = types.SimpleNamespace(
         data_utils=ref_data_utils,
         evaluate=ref_evaluate,
+        extract_log=ref_extract_log,
         image_utils=ref_image_utils,
         kmeans=ref_kmeans,
         softargmax=ref_softargmax,

@@ -1,6 +1,8 @@
 """Analysis-tool tests: comparator, importance ablations, log scraping,
 plots — on the synthetic dataset with tiny models."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -363,3 +365,73 @@ def test_swap_importance_numeric_oracle(setup):
     assert others
     for g in others:
         assert by_group.loc[g, "ade"] == ade_tuned, g
+
+
+class TestGoalOutputFigures:
+    """plot_goal_output family (reference visualization.py:128-257,576-611)."""
+
+    def test_hollow_cmap_transparent_middle(self):
+        from mst_tpu.evaluator.visualization import get_hollow_cmap
+        cmap = get_hollow_cmap(0.2)
+        assert cmap.N == 256
+        colors = cmap(np.linspace(0, 1, 256))
+        # the |x| < threshold band is fully transparent...
+        assert (colors[120:136, 3] == 0).all()
+        # ...and the extremes are the most opaque of their wing
+        assert colors[0, 3] > 0.5 and colors[-1, 3] > 0.5
+
+    def test_ordinary_cmap_diverges(self):
+        from mst_tpu.evaluator.visualization import get_ordinary_cmap
+        colors = get_ordinary_cmap()(np.linspace(0, 1, 256))
+        # Blues_r half then Oranges half, fully opaque
+        assert (colors[:, 3] == 1).all()
+        assert colors[40, 2] > colors[40, 0]   # blue wing
+        assert colors[215, 0] > colors[215, 2]  # orange wing
+
+    def test_adjust_cmap_band(self):
+        import matplotlib as mpl
+        from mst_tpu.evaluator.visualization import adjust_cmap
+        cmap = adjust_cmap(mpl.colormaps["viridis"], 0.1)
+        colors = cmap(np.linspace(0, 1, 256))
+        assert (colors[118:138, 3] == 0).all()
+        assert colors[0, 3] == 1 and colors[-1, 3] == 1
+
+    def test_plot_goal_output_writes_figures(self, tmp_path):
+        from mst_tpu.evaluator.visualization import plot_goal_output
+        rng = np.random.default_rng(0)
+        hooks = {
+            name: {"goal_decoder.predictor_output":
+                   rng.normal(size=(2, 16, 24, 12)).astype(np.float32)}
+            for name in ("OODG", "FT")
+        }
+        index = [(1, "scene_0"), (2, "scene_0")]
+        df = pd.DataFrame({
+            "metaId": np.repeat([1, 2], 20),
+            "x": rng.uniform(0, 96, 40), "y": rng.uniform(0, 64, 40)})
+        images = {"scene_0":
+                  rng.uniform(0, 1, size=(64, 96, 3)).astype(np.float32)}
+        paths = plot_goal_output(hooks, index, df, images, 0.25,
+                                 out_dir=str(tmp_path))
+        assert len(paths) == 2  # 2 samples x 1 non-base ckpt
+        assert all(os.path.exists(p) for p in paths)
+        assert "FT__goal_decoder.predictor_output__diff_single__scene" in \
+            paths[0]
+        # hollow single-panel variant with window zoom
+        paths2 = plot_goal_output(
+            hooks, index, df, images, 0.25, out_dir=str(tmp_path),
+            display_scene_img=False, inhance_threshold=0.1,
+            window=(50, 30, 40, 0.8, "portrait"))
+        assert len(paths2) == 2 and all(os.path.exists(p) for p in paths2)
+        assert paths2[0].endswith("__0.1.png")
+
+    def test_base_img_plot_semantic_classes(self):
+        import matplotlib.pyplot as plt
+        from mst_tpu.evaluator.visualization import base_img_plot
+        sem = np.zeros((8, 10, 3), np.float32)
+        sem[2, 2, 1] = 1.0
+        sem[3, 3, 2] = 1.0
+        fig, ax = plt.subplots()
+        im = base_img_plot(ax, None, semantic_img=sem)
+        arr = im.get_array()
+        assert arr[2, 2] == 0.5 and arr[3, 3] == 0.0 and arr[0, 0] == 1.0
+        plt.close(fig)

@@ -439,3 +439,81 @@ def test_moving_average_vs_reference(rng):
                                              box_loc=box_loc)
             got = moving_average(x, window, box_loc=box_loc)
             np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_kmeans_cosine_vs_reference_given_init(rng):
+    """Cosine-metric k-means (reference kmeans.py:146-180): same snapped
+    init -> same converged centers."""
+    k = 3
+    # angularly separated rays (cosine distance ignores magnitude)
+    angles = np.array([0.3, 2.1, 4.4])
+    modes = np.stack([np.cos(angles), np.sin(angles)], axis=1)
+    lab = rng.integers(0, k, size=400)
+    X = (modes[lab] * rng.uniform(1, 20, size=(400, 1))
+         + rng.normal(size=(400, 2)) * 0.05).astype(np.float32)
+    init = X[:k].copy()
+
+    choice_t, centers_t = ref.kmeans.kmeans(
+        torch.tensor(X), k, cluster_centers=torch.tensor(init),
+        distance="cosine", tol=1e-3, tqdm_flag=False, iter_limit=1000)
+    choice_j, centers_j = batched_kmeans(
+        jax.random.PRNGKey(0), jnp.asarray(X)[None], k, tol=1e-3,
+        iter_limit=1000, init_centers=jnp.asarray(init)[None],
+        distance="cosine")
+
+    order = np.lexsort(centers_t.numpy().T)
+    order_j = np.lexsort(np.asarray(centers_j[0]).T)
+    np.testing.assert_allclose(np.asarray(centers_j[0])[order_j],
+                               centers_t.numpy()[order], rtol=1e-3,
+                               atol=1e-3)
+
+
+@pytest.mark.parametrize("distance", ["euclidean", "cosine"])
+def test_kmeans_predict_vs_reference(rng, distance):
+    """reference kmeans.py:111-143: nearest-center assignment."""
+    from mst_tpu.ops.kmeans import kmeans_predict
+
+    X = rng.normal(size=(50, 2)).astype(np.float32) * 10 + 1.0
+    centers = rng.normal(size=(4, 2)).astype(np.float32) * 10 + 1.0
+    expected = ref.kmeans.kmeans_predict(
+        torch.tensor(X), torch.tensor(centers), distance=distance).numpy()
+    got = np.asarray(kmeans_predict(jnp.asarray(X), jnp.asarray(centers),
+                                    distance=distance))
+    np.testing.assert_array_equal(got, expected)
+    # batched form agrees with per-set calls
+    got_b = np.asarray(kmeans_predict(
+        jnp.asarray(X)[None].repeat(2, 0),
+        jnp.asarray(centers)[None].repeat(2, 0), distance=distance))
+    np.testing.assert_array_equal(got_b[0], expected)
+
+
+def test_extract_imp_msg_vs_reference():
+    """Importance-log scraper (reference extract_log.py:74-97) on a
+    synthetic importance-run log."""
+    from mst_tpu.evaluator.logs import extract_imp_msg
+
+    log = (
+        # keys BEFORE 'save_every_n' are unsearchable by design: the
+        # reference splits each run on that literal substring and only
+        # scans the remainder (extract_log.py:75)
+        "{'save_every_n': 10, 'seed': 1, "
+        "'pretrained_ckpt': 'ckpts/base.pt', "
+        "'tuned_ckpts': ['ckpts/tuned.pt'],}\n"
+        "Replacing encoder.stages.0.0.weight\n"
+        "Average performance (by 3): \nTest ADE: 12.34 \nTest FDE: 23.45\n"
+        "Replacing encoder.stages.1.0.weight\n"
+        "Average performance (by 3): \nTest ADE: 11.1 \nTest FDE: 22.2\n"
+    )
+    # the reference splits runs on the literal substring 'save_every_n'
+    # inside the echoed params dict; replicate that exact input shape
+    ref_df = ref.extract_log.extract_imp_msg(log)
+    got = extract_imp_msg(log)
+    assert len(got) == len(ref_df) == 2
+    assert list(got.layer) == list(ref_df.layer)
+    np.testing.assert_allclose(got.ade.values,
+                               ref_df.ade.astype(float).values)
+    np.testing.assert_allclose(got.fde.values,
+                               ref_df.fde.astype(float).values)
+    assert got.tuned_ckpt.iloc[0] == ref_df.tuned_ckpt.iloc[0]
+    assert got.pretrained_ckpt.iloc[0] == ref_df.pretrained_ckpt.iloc[0]
+    assert int(got.seed.iloc[0]) == int(ref_df.seed.iloc[0])
