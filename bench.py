@@ -29,12 +29,29 @@ N_SEM = 6
 BASELINE_FILE = os.path.join(os.path.dirname(__file__),
                              "BENCH_BASELINE.json")
 
+# measured legs; 'ind' is the inD long-term protocol (pred_len 30, resize
+# 0.33, waypoints {14,29}, temperature 1.8 — config/inD_longterm_train.yaml:
+# 3,22-26,46-47): 30 output channels + 2-waypoint conditioning shift the
+# packed-decode profile vs the SDD leg
+SCENARIOS = {
+    "sdd": dict(B=B, H=H, W=W, obs_len=OBS_LEN, pred_len=PRED_LEN,
+                waypoints=WAYPOINTS, temperature=1.0, resize=0.25,
+                config="sdd_shortterm_train.yaml"),
+    # inD scale: ~970x1700 px at resize 0.33, /32-padded
+    "ind": dict(B=B, H=320, W=576, obs_len=5, pred_len=30,
+                waypoints=(14, 29), temperature=1.8, resize=0.33,
+                config="inD_longterm_train.yaml"),
+}
 
-def _inputs(seed=0):
+
+def _inputs(seed=0, sc=None):
+    sc = sc or SCENARIOS["sdd"]
     rng = np.random.default_rng(seed)
-    semantic = rng.normal(size=(1, H, W, N_SEM)).astype(np.float32)
-    trajs = rng.uniform(60, 280,
-                        size=(B, OBS_LEN + PRED_LEN, 2)).astype(np.float32)
+    semantic = rng.normal(size=(1, sc["H"], sc["W"], N_SEM)).astype(
+        np.float32)
+    total = sc["obs_len"] + sc["pred_len"]
+    lo, hi = 0.2 * min(sc["H"], sc["W"]), 0.6 * min(sc["H"], sc["W"])
+    trajs = rng.uniform(lo, hi, size=(sc["B"], total, 2)).astype(np.float32)
     return semantic, trajs
 
 
@@ -141,7 +158,7 @@ def _program_flops(lowerable, *args):
     return None
 
 
-def measure_jax(n_iter=20, compute_dtype="float32"):
+def measure_jax(n_iter=20, compute_dtype="float32", scenario="sdd"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -155,17 +172,20 @@ def measure_jax(n_iter=20, compute_dtype="float32"):
     from mst_tpu.train import freeze as freeze_lib
     from mst_tpu.train import steps as steps_lib
 
+    sc = SCENARIOS[scenario]
     params_dict = config_lib.get_params(
-        config_filename="sdd_shortterm_train.yaml",
+        config_filename=sc["config"],
         overrides=dict(train_net="mosa_2",
                        position=["0", "1", "2", "3", "4"],
-                       segmentation_model_fp=None, batch_size=B))
+                       segmentation_model_fp=None, batch_size=sc["B"]))
     mcfg = config_lib.ynet_config(params_dict)
     params, state = ynet_lib.init_ynet(jax.random.PRNGKey(0), mcfg)
     scfg = steps_lib.StepConfig(
-        obs_len=OBS_LEN, pred_len=PRED_LEN, waypoints=WAYPOINTS,
-        template_size=int(4200 * 0.25), kernlen=31, nsig=4.0,
-        loss_scale=1000.0, resize_factor=0.25, temperature=1.0,
+        obs_len=sc["obs_len"], pred_len=sc["pred_len"],
+        waypoints=sc["waypoints"],
+        template_size=int(4200 * sc["resize"]), kernlen=31, nsig=4.0,
+        loss_scale=1000.0, resize_factor=sc["resize"],
+        temperature=sc["temperature"],
         n_goal=N_GOAL, n_traj=1,
         compute_dtype=(jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16")
                        else jnp.float32),
@@ -174,9 +194,9 @@ def measure_jax(n_iter=20, compute_dtype="float32"):
         # faster than 4-sample chunks
         eval_k_chunk=0)
 
-    semantic, trajs = _inputs()
+    semantic, trajs = _inputs(sc=sc)
     batch = {"semantic": semantic, "traj": trajs,
-             "mask": np.ones(B, np.float32)}
+             "mask": np.ones(sc["B"], np.float32)}
     batch = jax.tree.map(jax.numpy.asarray, batch)
 
     # MFU accounting uses the UNPACKED programs' FLOPs: space-to-depth
@@ -194,7 +214,7 @@ def measure_jax(n_iter=20, compute_dtype="float32"):
     for i in range(n_iter):
         out = eval_step(params, state, batch, jax.random.fold_in(key, i))
     jax.block_until_ready(out["ade"])
-    eval_tps = B * n_iter / (time.perf_counter() - t0)
+    eval_tps = sc["B"] * n_iter / (time.perf_counter() - t0)
 
     # ---- LoRA fine-tune step throughput
     mask = freeze_lib.trainable_mask(params, "mosa_2",
@@ -211,7 +231,7 @@ def measure_jax(n_iter=20, compute_dtype="float32"):
         trainable, state2, opt_state, metrics = train_step(
             trainable, frozen, state2, opt_state, batch)
     jax.block_until_ready(metrics["loss"])
-    train_tps = B * n_iter / (time.perf_counter() - t0)
+    train_tps = sc["B"] * n_iter / (time.perf_counter() - t0)
     # FLOP accounting last: compiling/running the reference (unpacked)
     # programs on the remote compile service must not overlap the timed
     # loops. Useful FLOPs = the unpacked programs' XLA counts (packing's
@@ -234,11 +254,11 @@ def measure_jax(n_iter=20, compute_dtype="float32"):
            "compute_dtype": compute_dtype,
            "device": str(jax.devices()[0])}
     if eval_flops:
-        eval_fps = eval_flops * eval_tps / B  # flops/batch * batches/sec
+        eval_fps = eval_flops * eval_tps / sc["B"]  # flops/batch * batches/sec
         res["eval_tflops_per_sec"] = eval_fps / 1e12
         res["eval_pct_peak_bf16"] = 100.0 * eval_fps / V5E_PEAK_BF16
     if train_flops:
-        train_fps = train_flops * train_tps / B
+        train_fps = train_flops * train_tps / sc["B"]
         res["train_tflops_per_sec"] = train_fps / 1e12
         res["train_pct_peak_bf16"] = 100.0 * train_fps / V5E_PEAK_BF16
     return res
@@ -282,6 +302,11 @@ def main():
     f32 = _with_deadline(measure_jax, 1200, "f32 leg")
     _log(f"jax f32 measured in {time.perf_counter() - t0:.1f}s: {f32}")
     t0 = time.perf_counter()
+    ind = _with_deadline(
+        lambda: measure_jax(compute_dtype="bfloat16", scenario="ind"),
+        1200, "inD long-term leg")
+    _log(f"jax inD bf16 measured in {time.perf_counter() - t0:.1f}s: {ind}")
+    t0 = time.perf_counter()
     base = _with_deadline(get_baseline, 900, "torch baseline")
     _log(f"baseline ready in {time.perf_counter() - t0:.1f}s: {base}")
     # headline: the faster dtype (bf16 parity is pinned by tests/test_bf16.py)
@@ -304,6 +329,16 @@ def main():
               "train_tflops_per_sec", "train_pct_peak_bf16"):
         if k in ours:
             line[k] = round(ours[k], 3)
+    if ind:
+        # second measured leg: inD long-term protocol (pred 30, resize
+        # 0.33, waypoints {14,29}, temperature 1.8)
+        line["ind_eval_traj_per_sec"] = round(ind["eval_traj_per_sec"], 3)
+        line["ind_train_traj_per_sec"] = round(ind["train_traj_per_sec"], 3)
+        for src, dst in (("eval_pct_peak_bf16", "ind_eval_pct_peak_bf16"),
+                         ("train_pct_peak_bf16",
+                          "ind_train_pct_peak_bf16")):
+            if src in ind:
+                line[dst] = round(ind[src], 3)
     print(json.dumps(line))
 
 

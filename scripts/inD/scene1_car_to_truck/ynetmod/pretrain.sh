@@ -17,6 +17,10 @@ train_net=train
 dataset_path=filter/shortterm/agent_type/scene1/car_filter
 load_data=predefined
 
+# harness hook: reduced-grid overrides for the synthetic e2e sweep
+# (mst_tpu/utils/scripts_e2e.py; no-op outside the harness)
+[ -n "${MST_GRID_OVERRIDES:-}" ] && source "$MST_GRID_OVERRIDES"
+
 for train_seed in ${list_train_seed[@]}; do
   python train.py --config_filename $config_filename --seed $train_seed \
     --batch_size $batch_size --n_epoch $n_epoch \

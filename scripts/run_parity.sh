@@ -1,0 +1,119 @@
+#!/usr/bin/env bash
+# One-command reference-parity runbook (docs/parity.md "With the released
+# data + checkpoints", automated).
+#
+# Given the reference's data bundle (fetched by
+# scripts/get_pretrained_model_and_data.sh on a networked machine and
+# placed under ./data and ./ckpts), this script:
+#   1. converts every released .pt checkpoint + both segmentation backbones
+#      into npz pytrees (skipping ones already converted),
+#   2. runs the five CoRL22 experiments' generalize + tune suites through
+#      the real CLIs, logging to parity_logs/,
+#   3. scrapes every 'Average performance (by N)' block into
+#      parity_report.csv, and
+#   4. if a reference-run table is given (csv: suite,ade,fde), prints
+#      per-suite percentage deltas against the <=1% target.
+#
+# Usage: scripts/run_parity.sh [reference_table.csv]
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+REF_TABLE="${1:-}"
+LOG_DIR="parity_logs"
+export PYTHONPATH="$REPO:${PYTHONPATH:-}"
+
+# ---- 0. bundle sanity --------------------------------------------------
+if [ ! -d data/sdd ] || ! ls ckpts/*.pt >/dev/null 2>&1; then
+  echo "ERROR: data bundle not found (need ./data/sdd and ./ckpts/*.pt)." >&2
+  echo "Fetch it with scripts/get_pretrained_model_and_data.sh on a" >&2
+  echo "networked machine, then re-run from the bundle directory." >&2
+  exit 1
+fi
+
+# ---- 1. convert checkpoints -------------------------------------------
+for f in ckpts/*.pt; do
+  [ -f "${f%.pt}.npz" ] && continue
+  echo "[parity] converting $f"
+  python -m mst_tpu.models.convert ynet "$f" "${f%.pt}.npz"
+done
+for ds in sdd inD-dataset-v1.0; do
+  sd="data/$ds"
+  for pth in "$sd"/*segmentation*.pth; do
+    [ -e "$pth" ] || continue
+    npz="${pth%.pth}.npz"; npz="${npz/_state_dict/}"
+    [ -f "$npz" ] && continue
+    sdict="${pth%.pth}_state_dict.pt"
+    if [ ! -f "$sdict" ]; then
+      # the bundle ships a PICKLED module; exporting its state dict needs
+      # torch + segmentation_models_pytorch (both in this image)
+      python - "$pth" "$sdict" <<'PY'
+import sys, torch
+m = torch.load(sys.argv[1], map_location="cpu", weights_only=False)
+torch.save(m.state_dict(), sys.argv[2])
+PY
+    fi
+    echo "[parity] converting $pth"
+    python -m mst_tpu.models.convert segmentation "$sdict" "$npz"
+  done
+done
+
+# ---- 2. the five experiments' suites ----------------------------------
+SUITES=(
+  # SDD agent-type transfer (ped -> biker), Y-Net + Y-Net-Mod
+  scripts/sdd/ped_to_biker/generalize.sh
+  scripts/sdd/ped_to_biker/tune_mosa.sh
+  scripts/sdd/ped_to_biker/tune_all.sh
+  scripts/sdd/ped_to_biker_modular/generalize.sh
+  scripts/sdd/ped_to_biker_modular/tune_mosa.sh
+  # SDD speed-regime transfer (low -> high biker)
+  scripts/sdd/biker_low_to_high/generalize.sh
+  scripts/sdd/biker_low_to_high/tune_mosa.sh
+  # inD agent-type transfer (car -> truck_bus, scene1)
+  scripts/inD/scene1_car_to_truck/ynetmod/generalize.sh
+  scripts/inD/scene1_car_to_truck/ynetmod/tune_mosa_S_A_F.sh
+  # inD scene transfer (ped scenes 2,3,4 -> 1)
+  scripts/inD/ped2ped_scene234to1/ynet/generalize.sh
+  scripts/inD/ped2ped_scene234to1/ynet/tune_mosa.sh
+  # cross-dataset transfer (SDD -> inD)
+  scripts/inD/sdd_to_inD/generalize.sh
+  scripts/inD/sdd_to_inD/tune_mosa.sh
+)
+
+mkdir -p "$LOG_DIR"
+for suite in "${SUITES[@]}"; do
+  name="$(echo "$suite" | sed 's#scripts/##; s#/#__#g; s#\.sh$##')"
+  log="$LOG_DIR/$name.out"
+  echo "[parity] running $suite -> $log"
+  bash "$REPO/$suite" 2>&1 | tee "$log"
+done
+
+# ---- 3+4. scrape + diff ------------------------------------------------
+python - "$LOG_DIR" "$REF_TABLE" <<'PY'
+import pathlib, sys
+import pandas as pd
+from mst_tpu.evaluator.logs import extract_test_metrics
+
+log_dir, ref_table = sys.argv[1], sys.argv[2]
+rows = []
+for log in sorted(pathlib.Path(log_dir).glob("*.out")):
+    df = extract_test_metrics(log.read_text())
+    if len(df):
+        # tune grids print one block per (seed x config); report the mean
+        rows.append({"suite": log.stem, "n_runs": len(df),
+                     "ade": df.ade.mean(), "fde": df.fde.mean()})
+rep = pd.DataFrame(rows)
+rep.to_csv("parity_report.csv", index=False)
+print(rep.to_string(index=False))
+print("wrote parity_report.csv")
+if ref_table:
+    ref = pd.read_csv(ref_table)
+    m = rep.merge(ref, on="suite", suffixes=("", "_ref"))
+    m["ade_delta_pct"] = 100 * (m.ade - m.ade_ref).abs() / m.ade_ref
+    m["fde_delta_pct"] = 100 * (m.fde - m.fde_ref).abs() / m.fde_ref
+    print(m[["suite", "ade", "ade_ref", "ade_delta_pct",
+             "fde", "fde_ref", "fde_delta_pct"]].to_string(index=False))
+    bad = m[(m.ade_delta_pct > 1) | (m.fde_delta_pct > 1)]
+    if len(bad):
+        print(f"PARITY FAIL: {len(bad)} suites exceed the 1% target")
+        sys.exit(1)
+    print("PARITY OK: every suite within 1% of the reference run")
+PY

@@ -21,6 +21,10 @@ list_position=("0 1 2 3 4")
 list_n_train_batch=(2)
 list_lr=(0.0005 0.001 0.005)
 
+# harness hook: reduced-grid overrides for the synthetic e2e sweep
+# (mst_tpu/utils/scripts_e2e.py; no-op outside the harness)
+[ -n "${MST_GRID_OVERRIDES:-}" ] && source "$MST_GRID_OVERRIDES"
+
 for train_seed in ${list_train_seed[@]}; do
   for lr in ${list_lr[@]}; do
     for n_train_batch in ${list_n_train_batch[@]}; do

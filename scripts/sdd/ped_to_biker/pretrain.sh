@@ -19,6 +19,10 @@ n_epoch=100
 n_early_stop=5
 ckpt_path=ckpts
 
+# harness hook: reduced-grid overrides for the synthetic e2e sweep
+# (mst_tpu/utils/scripts_e2e.py; no-op outside the harness)
+[ -n "${MST_GRID_OVERRIDES:-}" ] && source "$MST_GRID_OVERRIDES"
+
 for seed in ${list_seed[@]}; do
   python train.py --config_filename $config_filename --seed $seed \
     --batch_size $batch_size --n_epoch $n_epoch \

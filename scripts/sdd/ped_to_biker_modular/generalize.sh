@@ -13,6 +13,10 @@ list_seed=(1)
 config_filename=sdd_shortterm_eval.yaml
 ckpts=ckpts/sdd__ynetmod__ped.npz
 
+# harness hook: reduced-grid overrides for the synthetic e2e sweep
+# (mst_tpu/utils/scripts_e2e.py; no-op outside the harness)
+[ -n "${MST_GRID_OVERRIDES:-}" ] && source "$MST_GRID_OVERRIDES"
+
 for seed in ${list_seed[@]}; do
   python test.py --config_filename $config_filename --seed $seed \
     --batch_size $batch_size --n_round $n_round \

@@ -21,6 +21,10 @@ list_position=("fusion")
 list_n_train_batch=(3)
 list_lr=(0.003)
 
+# harness hook: reduced-grid overrides for the synthetic e2e sweep
+# (mst_tpu/utils/scripts_e2e.py; no-op outside the harness)
+[ -n "${MST_GRID_OVERRIDES:-}" ] && source "$MST_GRID_OVERRIDES"
+
 for seed in ${list_seed[@]}; do
   for lr in ${list_lr[@]}; do
     for n_train_batch in ${list_n_train_batch[@]}; do

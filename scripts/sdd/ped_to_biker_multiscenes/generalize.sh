@@ -14,6 +14,10 @@ ckpts_name=OODG
 dataset_path=filter/shortterm/agent_type/multiscene_easy/Biker
 load_data=predefined
 
+# harness hook: reduced-grid overrides for the synthetic e2e sweep
+# (mst_tpu/utils/scripts_e2e.py; no-op outside the harness)
+[ -n "${MST_GRID_OVERRIDES:-}" ] && source "$MST_GRID_OVERRIDES"
+
 for eval_seed in ${list_eval_seed[@]}; do
   python test.py --config_filename $config_filename --seed $eval_seed \
     --batch_size $batch_size --n_round $n_round \
