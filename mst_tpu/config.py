@@ -79,6 +79,12 @@ def get_parser(is_train: bool) -> argparse.ArgumentParser:
         parser.add_argument("--smooth_val", action="store_true")
         parser.add_argument("--train_files", default=None, type=str,
                             nargs="+")
+        parser.add_argument("--cross_scene_batching", action="store_true",
+                            help="fill train batches across scenes sharing"
+                                 " a padded image shape (TPU-native; the"
+                                 " reference's batch_size=1 scene loader"
+                                 " pads every scene's last chunk)")
+        parser.add_argument("--max_scenes_per_batch", default=8, type=int)
     return parser
 
 
@@ -94,6 +100,7 @@ _DEFAULTS = dict(
     e_unfreeze=10000, n_round=1, position=[], train_net="train",
     n_fusion=None, use_features_only=False, compute_dtype="float32",
     mesh_shape=None, segmentation_model_fp=None, eval_k_chunk=0,
+    cross_scene_batching=False, max_scenes_per_batch=8,
 )
 
 

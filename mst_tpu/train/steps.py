@@ -96,9 +96,14 @@ def _compute_params(params, scfg):
 
 
 def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None,
-                    seg_bn_state=None):
+                    seg_bn_state=None, scene_idx=None):
     """semantic (B or 1, H, W, C) + traj (B, T, 2) -> model inputs (plus a
     dict of backbone BN-stat updates, non-empty only in segment_train_mode).
+
+    scene_idx (B,) int32 marks a cross-scene bucketed batch: semantic is a
+    (S, H, W, C) stack of distinct scene maps and each row gathers its map
+    AFTER segmentation/adaptation ran once per distinct scene
+    (data/scenes.py:make_bucketed_batches).
 
     When scfg.segment_in_step, `semantic` is the raw preprocessed image and
     the backbone runs here (differentiably, for segmentation_* strategies;
@@ -126,7 +131,12 @@ def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None,
     if scfg.swap_semantic:
         from mst_tpu.data.images import swap_pavement_terrain
         semantic = swap_pavement_terrain(semantic)
-    if semantic.shape[0] != B:
+    if scene_idx is not None:
+        # per-row gather from the distinct-scene stack (XLA lowers this to
+        # one dynamic-gather; the segmentation/adapters above ran on S
+        # maps, not B)
+        semantic = semantic[scene_idx]
+    elif semantic.shape[0] != B:
         semantic = jnp.broadcast_to(semantic,
                                     (B,) + semantic.shape[1:])
     obs = traj[:, :scfg.obs_len]
@@ -164,7 +174,8 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
         semantic, observed_map, seg_updates = _prepare_inputs(
             mcfg, scfg, params, batch["semantic"], traj, train=True,
             seg_bn_state=state.get("segmentation_bn")
-            if isinstance(state, dict) else None)
+            if isinstance(state, dict) else None,
+            scene_idx=batch.get("scene_idx"))
 
         gt_future = traj[:, scfg.obs_len:]
         gt_waypoints = gt_future[:, waypoints]

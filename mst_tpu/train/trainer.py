@@ -141,6 +141,18 @@ class Experiment:
             # (replica, data) meshes divide too
             n_shards = self.mesh.size
             batch_size = -(-batch_size // n_shards) * n_shards
+        if (mode == "train" and p.get("cross_scene_batching", False)
+                and dataset_name != "eth"):
+            # cross-scene shape-bucketed batches: fill B completely from
+            # scenes sharing a padded (H, W), one partial batch per scene
+            # group instead of per scene (eth is excluded: its homography
+            # is per-scene). Loss/grad parity with per-scene batching is
+            # pinned by tests/test_bucketed_batching.py.
+            return scenes_lib.make_bucketed_batches(
+                df, images, total_len, batch_size, p["resize_factor"],
+                shuffle=True, rng=rng,
+                max_scenes_per_batch=int(
+                    p.get("max_scenes_per_batch", 8)))
         return scenes_lib.make_scene_batches(
             df, images, total_len, batch_size, p["resize_factor"],
             shuffle=(mode == "train"), rng=rng)
@@ -194,9 +206,14 @@ class Experiment:
         train_epoch.py:34-38). raw=True returns the preprocessed image for
         in-step segmentation."""
         if raw:
-            return batch.image[None]
+            return batch.image if batch.image.ndim == 4 else \
+                batch.image[None]
         if batch.scene_id not in cache:
-            img = batch.image[None]  # (1,H,W,C)
+            # (1,H,W,C); a BucketedBatch carries an (S,H,W,C) stack whose
+            # scene-ids tuple keys the cache, so the stack segments once
+            # per scene group
+            img = batch.image if batch.image.ndim == 4 else \
+                batch.image[None]
             if "segmentation" in self.model_params:
                 # adapted BN stats (post-e_unfreeze) override inline stats
                 sem = seg_lib.apply(
@@ -244,6 +261,8 @@ class Experiment:
         db = {"semantic": semantic,
               "traj": batch.trajectories,
               "mask": batch.mask}
+        if hasattr(batch, "scene_idx"):
+            db["scene_idx"] = batch.scene_idx
         if self.params["dataset_name"].lower() == "eth":
             db["homography"] = self._homography_for(batch.scene_id)
         if self.mesh is not None:
