@@ -192,3 +192,49 @@ def test_pad_batch_pads_every_nonscene_key():
     out = mesh_lib.pad_batch_to_multiple(batch, 8)
     assert out["extra_per_traj"].shape[0] == 8
     assert out["semantic"].shape[0] == 1  # scene-level keys untouched
+
+
+def test_data_parallel_bucketed_train_step_matches_single(tmp_path):
+    """Cross-scene bucketed batches shard like per-scene ones: the
+    (S, H, W, C) semantic stack replicates, scene_idx shards with the
+    rows, and the sharded update matches single-device bitwise-close."""
+    df, images = make_synthetic_dataset(seed=2, n_scenes=2, n_traj=4,
+                                        total_len=TOTAL_LEN)
+    params = _params(tmp_path, cross_scene_batching=True,
+                     max_scenes_per_batch=2)
+    mesh = mesh_lib.make_mesh((8,))
+
+    results = {}
+    for name, m in [("single", None), ("mesh", mesh)]:
+        exp = Experiment(params, mesh=m, images=images)
+        batches = exp.prepare_data(df, None, "train",
+                                   rng=np.random.default_rng(0))
+        batch = batches[0]
+        assert len(set(batch.scene_idx[batch.mask.astype(bool)])) > 1
+        semantic = exp._semantic_for(batch, {})
+        db = exp._device_batch(batch, semantic)
+        if m is not None:
+            assert "scene_idx" in db
+        mask = exp._trainable_mask()
+        trainable, frozen = freeze_lib.split_params(exp.model_params, mask)
+        if m is not None:
+            trainable = mesh_lib.replicate_tree(m, trainable)
+            frozen = mesh_lib.replicate_tree(m, frozen)
+        optimizer = optax.adam(1e-3)
+        opt_state = optimizer.init(trainable)
+        step = steps_lib.make_train_step(exp.mcfg, exp._step_config(),
+                                         optimizer)
+        for _ in range(2):
+            trainable, state, opt_state, metrics = step(
+                trainable, frozen, exp.model_state, opt_state, db)
+        results[name] = (jax.device_get(trainable),
+                         float(metrics["loss"]))
+
+    # f32 reduction order differs across shard layouts (the gathered
+    # semantic changes the fusion structure); bound it tightly but not
+    # bitwise
+    np.testing.assert_allclose(results["single"][1], results["mesh"][1],
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(results["single"][0]),
+                    jax.tree.leaves(results["mesh"][0])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
