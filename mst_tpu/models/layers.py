@@ -110,11 +110,74 @@ def lora_merged_weight(params, rank):
     return w + delta * (1.0 / rank)
 
 
-def lora_conv2d_apply(params, x, rank, stride=1, padding="SAME"):
-    w = lora_merged_weight(params, rank)
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride, stride), padding=padding,
-        dimension_numbers=_DIMNUMS)
+def lora_separable_kernels(params):
+    """The loralib conv delta factored into two thin convs, exactly.
+
+    loralib builds delta = (B @ A).view(out, in, k, k): the row-major view
+    maps flat index f = i*k^2 + a*k + b to factor coordinates
+    (s, c) = divmod(f, in*k), so delta[o,i,a,b] = sum_r B[o*k+s, r] *
+    A[r, c]. Grouping by s gives the exact two-conv form
+      u = conv_{kxk}(x, K_A),   y_delta = conv_{1x1}(u, K_B)
+    with K_A[a, b, i, s*rk+r] = A[r, c(i,a,b)] * [s(i,a,b) == s]   and
+         K_B[0, 0, s*rk+r, o] = B[o*k+s, r]
+    (rk = r*k factor rows; intermediate width k*rk).
+
+    Training through this form never materializes the full (k,k,in,out)
+    weight gradient — the frozen base conv contributes no weight grad, and
+    the factor grads are weight-grads of these two THIN convs (the merged
+    form costs a full dense weight-grad conv per LoRA'd layer, ~0.8 ms for
+    the packed stem alone in the r3 train xprof).
+    """
+    import numpy as np
+
+    w = params["weight"]
+    kh, kw, cin, cout = w.shape
+    k = kh
+    A = params["lora_A"]  # (rk, in*k)
+    B = params["lora_B"]  # (out*k, rk)
+    rk = A.shape[0]
+    # static index maps of the row-major view
+    i_ix, a_ix, b_ix = np.meshgrid(np.arange(cin), np.arange(k),
+                                   np.arange(k), indexing="ij")
+    f = i_ix * k * k + a_ix * k + b_ix
+    s_map, c_map = np.divmod(f, cin * k)  # each (in, k, k)
+    gathered = A[:, c_map]  # (rk, in, k, k) = A[r, c(i,a,b)]
+    s_onehot = jnp.asarray(
+        (s_map[..., None] == np.arange(k)).astype(np.float32), A.dtype)
+    # K_A[a, b, i, s, r] then fold (s, r) -> s*rk + r
+    KA = jnp.einsum("riab,iabs->abisr", gathered, s_onehot)
+    KA = KA.reshape(k, k, cin, k * rk)
+    KB = B.reshape(cout, k, rk).transpose(1, 2, 0).reshape(
+        k * rk, cout)[None, None]  # (1, 1, k*rk, out)
+    return KA, KB
+
+
+def lora_conv2d_apply(params, x, rank, stride=1, padding="SAME",
+                      separable=False):
+    """LoRA conv forward.
+
+    separable=False uses the merged weight (one conv — cheapest pure
+    forward, used in eval). separable=True runs base conv + the separable
+    delta path (same function up to fp order; see lora_separable_kernels
+    for why training wants it).
+    """
+    if separable and stride == 1 and padding == "SAME":
+        y = jax.lax.conv_general_dilated(
+            x, params["weight"], window_strides=(1, 1), padding="SAME",
+            dimension_numbers=_DIMNUMS)
+        KA, KB = lora_separable_kernels(params)
+        u = jax.lax.conv_general_dilated(
+            x, KA.astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=_DIMNUMS)
+        d = jax.lax.conv_general_dilated(
+            u, KB.astype(u.dtype), (1, 1), "SAME",
+            dimension_numbers=_DIMNUMS)
+        y = y + d * (1.0 / rank)
+    else:
+        w = lora_merged_weight(params, rank)
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(stride, stride), padding=padding,
+            dimension_numbers=_DIMNUMS)
     if "bias" in params:
         y = y + params["bias"]
     return y

@@ -162,6 +162,12 @@ def _conv_unit_apply(params, state, cfg: YNetConfig, level, x, train):
     """Forward of one encoder conv unit. Returns (y, new_state)."""
     kind = cfg.conv_kind(level)
     if kind == "lora":
+        # merged-weight form everywhere: the separable delta (no full
+        # weight-grad conv; layers.lora_separable_kernels) measured SLOWER
+        # on v5e in every placement (291 -> 266/273/283 traj/s with it in
+        # packed stages / stage-0 only / unpacked stages) — the thin
+        # full-res factor convs cost more than the dense weight-grad convs
+        # they remove. Kept available + parity-tested for future hardware.
         return layers.lora_conv2d_apply(params, x, cfg.lora_rank), state
     out = layers.conv2d_apply({k: params[k] for k in ("weight", "bias")
                                if k in params}, x)
@@ -268,8 +274,56 @@ def can_pack_stage0(cfg: YNetConfig) -> bool:
     return True
 
 
+def can_pack_stage1(cfg: YNetConfig) -> bool:
+    """Stage 1 can run space-to-depth packed under the same conditions as
+    stage 0 (plain or LoRA-merged convs, no block adapter at position 1);
+    requires packed_stage0 (its pooled half-res output is the input)."""
+    if not can_pack_stage0(cfg):
+        return False
+    if len(cfg.encoder_channels) < 2:
+        return False
+    if cfg.conv_kind(1) == "adapter_layer":
+        return False
+    is_block_adapter = (("serial" in cfg.train_net
+                         or "parallel" in cfg.train_net)
+                        and "Layer" not in cfg.train_net)
+    if is_block_adapter and "1" in cfg.position:
+        return False
+    return True
+
+
+def _merged_conv_weight(cfg, conv_params, level):
+    if cfg.conv_kind(level) == "lora":
+        return layers.lora_merged_weight(conv_params, cfg.lora_rank)
+    return conv_params["weight"]
+
+
+def _packed_conv_unit(xq, conv_params, cfg, level, separable=False):
+    """One encoder conv unit in packed space (plain or LoRA).
+
+    separable=True runs the LoRA delta as two thin packed convs (no full
+    weight-grad conv in the backward, layers.lora_separable_kernels) —
+    measured SLOWER than merged on v5e (see _conv_unit_apply note), kept
+    for future hardware. Default: merged weight, one conv.
+    """
+    from mst_tpu.ops import packed as packed_lib
+
+    bias = (packed_lib.pack_bias(conv_params["bias"])
+            if "bias" in conv_params else None)
+    if cfg.conv_kind(level) == "lora" and separable:
+        y = packed_lib.packed_conv(
+            xq, packed_lib.pack_conv3x3_kernel(conv_params["weight"]), bias)
+        KA, KB = layers.lora_separable_kernels(conv_params)
+        u = packed_lib.packed_conv(xq, packed_lib.pack_conv3x3_kernel(KA))
+        d = packed_lib.packed_conv(u, packed_lib.pack_conv1x1_kernel(KB))
+        return y + d * (1.0 / cfg.lora_rank)
+    w = _merged_conv_weight(cfg, conv_params, level)
+    return packed_lib.packed_conv(
+        xq, packed_lib.pack_conv3x3_kernel(w), bias)
+
+
 def _encoder_apply(params, state, cfg: YNetConfig, x, train,
-                   packed_stage0=False):
+                   packed_stage0=False, packed_stage1=False):
     """Forward the plain/L/B encoder; returns (features list, new_state).
 
     Feature list has len(channels)+1 entries: 5 stage outputs plus a final
@@ -288,15 +342,8 @@ def _encoder_apply(params, state, cfg: YNetConfig, x, train,
 
         assert can_pack_stage0(cfg), cfg.train_net
         conv0 = params["stages"]["0"]["conv0"]
-        if cfg.conv_kind(0) == "lora":
-            w0 = layers.lora_merged_weight(conv0, cfg.lora_rank)
-        else:
-            w0 = conv0["weight"]
         xq = packed_lib.space_to_depth(x)
-        yq = packed_lib.packed_conv(
-            xq, packed_lib.pack_conv3x3_kernel(w0),
-            packed_lib.pack_bias(conv0["bias"]) if "bias" in conv0
-            else None)
+        yq = _packed_conv_unit(xq, conv0, cfg, 0, separable=False)
         yq = jax.nn.relu(yq)
         features.append(yq)  # PACKED features[0]
         C0 = cfg.encoder_channels[0]
@@ -304,6 +351,25 @@ def _encoder_apply(params, state, cfg: YNetConfig, x, train,
         # MaxPool2d(2,2) == max over the 4 packed sub-position groups
         x = yq.reshape(B_, Hp, Wp, 4, C0).max(axis=3)
         start_stage = 1
+        if packed_stage1:
+            # stage 1 space-to-depth packed one level down: its 32-channel
+            # half-res convs waste 3/4 of the MXU lanes (r3 train xprof);
+            # packed they contract K=4C. features[1] comes out PACKED
+            # (B, H/4, W/4, 4C1) — consumers must accept it (the packed
+            # decoders do) — and the stage-2 maxpool is the channel-group
+            # max again.
+            assert can_pack_stage1(cfg), cfg.train_net
+            s1 = params["stages"]["1"]
+            x1q = packed_lib.space_to_depth(x)
+            y = jax.nn.relu(_packed_conv_unit(x1q, s1["conv0"], cfg, 1,
+                                              separable=False))
+            y = jax.nn.relu(_packed_conv_unit(y, s1["conv1"], cfg, 1,
+                                              separable=False))
+            features.append(y)  # PACKED features[1]
+            C1 = cfg.encoder_channels[1]
+            Bq, Hq, Wq, _ = y.shape
+            x = y.reshape(Bq, Hq, Wq, 4, C1).max(axis=3)
+            start_stage = 2
     else:
         start_stage = 0
     stage_state = dict(state.get("stages", {}))
@@ -317,8 +383,9 @@ def _encoder_apply(params, state, cfg: YNetConfig, x, train,
     for i in range(start_stage, n_stage):
         sp = params["stages"][str(i)]
         ss = state.get("stages", {}).get(str(i), {})
-        # when stage 0 ran packed, x is already pooled for stage 1
-        already_pooled = packed_stage0 and i == 1
+        # when stage 0/1 ran packed, x is already pooled for the next stage
+        already_pooled = (packed_stage0 and i == 1) or \
+            (packed_stage1 and i == 2)
         first = (i == 0) or already_pooled
         if is_parallel_block and str(i) in adapters:
             # parallel block adapter sees the stage input (post-pool for
@@ -498,17 +565,19 @@ def _decoder_init(key, cfg: YNetConfig, traj: int | bool = False):
 
 def _decoder_apply(params, features, packed_finest: bool = False,
                    features0_packed: bool = False,
-                   return_packed: bool = False):
+                   return_packed: bool = False,
+                   features1_packed: bool = False):
     """YNetDecoder.forward (ynet.py:453-471); features NHWC, coarsest last.
 
     packed_finest runs the finest (full-resolution) level space-to-depth
     packed (mst_tpu.ops.packed): its convs have C_out <= 32 and waste most
     of the MXU's 128 output lanes; the packed program is the exact same
     function (tested), so training gradients are unchanged.
-    features0_packed marks features[0] as already space-to-depth packed
-    (packed_stage0 encoder); requires packed_finest.
+    features0_packed / features1_packed mark features[0] / features[1] as
+    already space-to-depth packed (packed_stage0/1 encoder); require
+    packed_finest (and, for features[1], the deep packed level).
     """
-    assert packed_finest or not features0_packed
+    assert packed_finest or not (features0_packed or features1_packed)
     feats = features[::-1]
     x = feats[0]
     x = jax.nn.relu(layers.conv2d_apply(params["center"]["0"], x))
@@ -517,6 +586,8 @@ def _decoder_apply(params, features, packed_finest: bool = False,
     deep_packed = (
         packed_finest and n >= 3
         and params["blocks"][str(n - 2)]["1"]["weight"].shape[-1] <= 32)
+    assert deep_packed or not features1_packed, \
+        "packed features[1] needs the deep packed decoder level"
     for i in range(n):
         if deep_packed and i == n - 2:
             from mst_tpu.ops import packed as packed_lib
@@ -534,15 +605,20 @@ def _decoder_apply(params, features, packed_finest: bool = False,
                 xq, packed_lib.pack_conv3x3_kernel(up_p["weight"]),
                 packed_lib.pack_bias(up_p["bias"]) if "bias" in up_p
                 else None)
-            fq = packed_lib.space_to_depth(feats[i + 1])
-            yq = (packed_lib.packed_conv(
-                      xq, packed_lib.pack_conv3x3_kernel(
-                          b0["weight"][:, :, :lo, :]))
-                  + packed_lib.packed_conv(
-                      fq, packed_lib.pack_conv3x3_kernel(
-                          b0["weight"][:, :, lo:, :])))
-            if "bias" in b0:
-                yq = yq + packed_lib.pack_bias(b0["bias"])
+            fq = (feats[i + 1] if features1_packed
+                  else packed_lib.space_to_depth(feats[i + 1]))
+            # ONE concat conv instead of conv(xq)+conv(fq): the per-packed-
+            # kernel concat along axis 2 matches concat([xq, fq]) channel
+            # order exactly, and the doubled contraction depth keeps the
+            # MXU pipeline full (split halves ran at ~87 vs ~190 TF/s in
+            # the r3 train xprof)
+            b0_cat = jnp.concatenate(
+                [packed_lib.pack_conv3x3_kernel(b0["weight"][:, :, :lo, :]),
+                 packed_lib.pack_conv3x3_kernel(b0["weight"][:, :, lo:, :])],
+                axis=2)
+            yq = packed_lib.packed_conv(
+                jnp.concatenate([xq, fq], axis=-1), b0_cat,
+                packed_lib.pack_bias(b0["bias"]) if "bias" in b0 else None)
             yq = jax.nn.relu(yq)
             yq = packed_lib.packed_conv(
                 yq, packed_lib.pack_conv3x3_kernel(b1["weight"]),
@@ -565,17 +641,16 @@ def _decoder_apply(params, features, packed_finest: bool = False,
                 xq, packed_lib.pack_conv3x3_kernel(up_p["weight"]),
                 packed_lib.pack_bias(up_p["bias"]) if "bias" in up_p
                 else None)
-            # conv(concat(up, f)) = conv_up(up) + conv_f(f)
             fq = (feats[i + 1] if features0_packed
                   else packed_lib.space_to_depth(feats[i + 1]))
-            yq = (packed_lib.packed_conv(
-                      xq, packed_lib.pack_conv3x3_kernel(
-                          b0["weight"][:, :, :lo, :]))
-                  + packed_lib.packed_conv(
-                      fq, packed_lib.pack_conv3x3_kernel(
-                          b0["weight"][:, :, lo:, :])))
-            if "bias" in b0:
-                yq = yq + packed_lib.pack_bias(b0["bias"])
+            # ONE concat conv (see the deep level above for why)
+            b0_cat = jnp.concatenate(
+                [packed_lib.pack_conv3x3_kernel(b0["weight"][:, :, :lo, :]),
+                 packed_lib.pack_conv3x3_kernel(b0["weight"][:, :, lo:, :])],
+                axis=2)
+            yq = packed_lib.packed_conv(
+                jnp.concatenate([xq, fq], axis=-1), b0_cat,
+                packed_lib.pack_bias(b0["bias"]) if "bias" in b0 else None)
             yq = jax.nn.relu(yq)
             yq = packed_lib.packed_conv(
                 yq, packed_lib.pack_conv3x3_kernel(b1["weight"]),
@@ -667,12 +742,12 @@ def motion_embedding(params, cfg, x):
 
 
 def pred_features(params, state, cfg: YNetConfig, scene_map, motion_map,
-                  train=False, packed_stage0=False):
+                  train=False, packed_stage0=False, packed_stage1=False):
     """Encoder forward. scene_map (B,H,W,Cs), motion_map (B,H,W,obs_len).
 
     Returns (features list, new_state). reference: ynet.py:570-575.
-    With packed_stage0, features[0] is the space-to-depth packed stem output
-    (see _encoder_apply).
+    With packed_stage0/1, features[0]/features[1] are the space-to-depth
+    packed stage outputs (see _encoder_apply).
     """
     enc_state = state.get("encoder", {})
     if cfg.network == "fusion":
@@ -681,7 +756,8 @@ def pred_features(params, state, cfg: YNetConfig, scene_map, motion_map,
     else:
         x = jnp.concatenate([scene_map, motion_map], axis=-1)
         feats, new_enc = _encoder_apply(params["encoder"], enc_state, cfg, x,
-                                        train, packed_stage0=packed_stage0)
+                                        train, packed_stage0=packed_stage0,
+                                        packed_stage1=packed_stage1)
     new_state = dict(state)
     if new_enc:
         new_state["encoder"] = new_enc
@@ -689,11 +765,13 @@ def pred_features(params, state, cfg: YNetConfig, scene_map, motion_map,
 
 
 def pred_goal(params, features, packed_finest=False,
-              features0_packed=False, return_packed=False):
+              features0_packed=False, return_packed=False,
+              features1_packed=False):
     """(B,H,W,pred_len) goal/waypoint heatmap logits (or the packed
     (B,H/2,W/2,4*pred_len) layout with return_packed)."""
     return _decoder_apply(params["goal_decoder"], features, packed_finest,
-                          features0_packed, return_packed)
+                          features0_packed, return_packed,
+                          features1_packed=features1_packed)
 
 
 def pred_traj(params, features_with_waypoints, packed_finest=False):
@@ -706,7 +784,8 @@ def make_shared_pred_traj(params, features, n_wp: int,
                           packed_finest: bool = False,
                           features0_packed: bool = False,
                           return_packed: bool = False,
-                          wp_finest_packed: bool = False):
+                          wp_finest_packed: bool = False,
+                          features1_packed: bool = False):
     """K-sample trajectory decoding with hoisted encoder contributions.
 
     The eval loop decodes K goal samples against the SAME encoder features
@@ -740,10 +819,12 @@ def make_shared_pred_traj(params, features, n_wp: int,
             p["bias"] = conv_params["bias"]
         return layers.conv2d_apply(p, x)
 
-    assert packed_finest or not features0_packed
+    assert packed_finest or not (features0_packed or features1_packed)
     enc_ch = [f.shape[-1] for f in feats_rev]  # coarsest-first channels
     if features0_packed:
         enc_ch[-1] //= 4  # features[0] carries 4C packed channels
+    if features1_packed:
+        enc_ch[-2] //= 4  # features[1] too (packed_stage1 encoder)
 
     # center block first conv input = concat(f_coarsest, wp_coarsest)
     center_enc = conv_slice(d["center"]["0"], feats_rev[0], 0, enc_ch[0])
@@ -753,7 +834,8 @@ def make_shared_pred_traj(params, features, n_wp: int,
     for i in range(L - 1):
         lo = up_out[i]
         hi = lo + enc_ch[i + 1]
-        if features0_packed and i == L - 2:
+        if (features0_packed and i == L - 2) or \
+                (features1_packed and i == L - 3):
             block_enc.append(None)  # computed packed below
             continue
         block_enc.append(conv_slice(d["blocks"][str(i)]["0"],
@@ -808,6 +890,16 @@ def make_shared_pred_traj(params, features, n_wp: int,
                     b0_p["weight"][:, :, lo_l:hi_l, :]))
         else:
             pk["enc"] = packed_lib.space_to_depth(block_enc[i_last])
+        # KB == B (train) fused path: no K axis to hoist over, so ONE
+        # concat conv over [up, enc_feature, wp] beats the 3-way split
+        # (deeper contraction keeps the MXU full; r3 train xprof)
+        pk["enc_q"] = (feats_rev[i_last + 1] if features0_packed
+                       else packed_lib.space_to_depth(feats_rev[i_last + 1]))
+        pk["b0_cat"] = jnp.concatenate(
+            [pk["b0_up"],
+             packed_lib.pack_conv3x3_kernel(
+                 b0_p["weight"][:, :, lo_l:hi_l, :]),
+             pk["b0_wp"]], axis=2)
 
         if deep_packed:
             up3 = d["upsample"][str(i3)]
@@ -831,9 +923,24 @@ def make_shared_pred_traj(params, features, n_wp: int,
                 "b1_w": packed_lib.pack_conv3x3_kernel(b13["weight"]),
                 "b1_b": (packed_lib.pack_bias(b13["bias"])
                          if "bias" in b13 else None),
-                # K-invariant enc contribution, repacked once per batch
-                "enc": packed_lib.space_to_depth(block_enc[i3]),
             }
+            if features1_packed:
+                # features[1] arrives packed (packed_stage1 encoder)
+                pk3["enc_q"] = feats_rev[i3 + 1]
+                pk3["enc"] = packed_lib.packed_conv(
+                    pk3["enc_q"],
+                    packed_lib.pack_conv3x3_kernel(
+                        b03["weight"][:, :, lo3:hi3, :]))
+            else:
+                # K-invariant enc contribution, repacked once per batch
+                pk3["enc"] = packed_lib.space_to_depth(block_enc[i3])
+                # KB == B fused-concat variant (see pk["b0_cat"])
+                pk3["enc_q"] = packed_lib.space_to_depth(feats_rev[i3 + 1])
+            pk3["b0_cat"] = jnp.concatenate(
+                [pk3["b0_up"],
+                 packed_lib.pack_conv3x3_kernel(
+                     b03["weight"][:, :, lo3:hi3, :]),
+                 pk3["b0_wp"]], axis=2)
 
     def tile(x, KB):
         reps = KB // B
@@ -861,11 +968,17 @@ def make_shared_pred_traj(params, features, n_wp: int,
                 xq3 = packed_lib.packed_upsample_2x(x, pk3["up_fixed"])
                 xq3 = packed_lib.packed_conv(xq3, pk3["up_w"], pk3["up_b"])
                 wpq3 = packed_lib.space_to_depth(wp_rev[i + 1])
-                yq3 = (packed_lib.packed_conv(xq3, pk3["b0_up"])
-                       + tile(pk3["enc"], KB)
-                       + packed_lib.packed_conv(wpq3, pk3["b0_wp"]))
-                if pk3["b0_b"] is not None:
-                    yq3 = yq3 + pk3["b0_b"]
+                if KB == B:
+                    # train: no K axis — one fused concat conv
+                    yq3 = packed_lib.packed_conv(
+                        jnp.concatenate([xq3, pk3["enc_q"], wpq3], -1),
+                        pk3["b0_cat"], pk3["b0_b"])
+                else:
+                    yq3 = (packed_lib.packed_conv(xq3, pk3["b0_up"])
+                           + tile(pk3["enc"], KB)
+                           + packed_lib.packed_conv(wpq3, pk3["b0_wp"]))
+                    if pk3["b0_b"] is not None:
+                        yq3 = yq3 + pk3["b0_b"]
                 yq3 = jax.nn.relu(yq3)
                 yq3 = packed_lib.packed_conv(yq3, pk3["b1_w"], pk3["b1_b"])
                 yq3 = jax.nn.relu(yq3)
@@ -885,11 +998,17 @@ def make_shared_pred_traj(params, features, n_wp: int,
                 # + pyramid_from_packed) — no full-res map exists
                 wpq = (wp_rev[i + 1] if wp_finest_packed
                        else packed_lib.space_to_depth(wp_rev[i + 1]))
-                yq = (packed_lib.packed_conv(xq, pk["b0_up"])
-                      + tile(pk["enc"], KB)
-                      + packed_lib.packed_conv(wpq, pk["b0_wp"]))
-                if pk["b0_b"] is not None:
-                    yq = yq + pk["b0_b"]
+                if KB == B:
+                    # train: no K axis — one fused concat conv
+                    yq = packed_lib.packed_conv(
+                        jnp.concatenate([xq, pk["enc_q"], wpq], -1),
+                        pk["b0_cat"], pk["b0_b"])
+                else:
+                    yq = (packed_lib.packed_conv(xq, pk["b0_up"])
+                          + tile(pk["enc"], KB)
+                          + packed_lib.packed_conv(wpq, pk["b0_wp"]))
+                    if pk["b0_b"] is not None:
+                        yq = yq + pk["b0_b"]
                 yq = jax.nn.relu(yq)
                 yq = packed_lib.packed_conv(yq, pk["b1_w"], pk["b1_b"])
                 yq = jax.nn.relu(yq)

@@ -70,7 +70,8 @@ def softargmax2d_nhwc(logits_nhwc, eps: float = 1e-6):
     return jnp.stack([ex * inv, ey * inv], -1)
 
 
-def softargmax2d_packed(packed_nhwc, n_channels: int, eps: float = 1e-6):
+def softargmax2d_packed(packed_nhwc, n_channels: int, eps: float = 1e-6,
+                        channel=None):
     """Soft-argmax on a space-to-depth PACKED map, no unpacking.
 
     Input (B, H/2, W/2, 4C) with channel (si*2 + sj)*C + c
@@ -80,12 +81,21 @@ def softargmax2d_packed(packed_nhwc, n_channels: int, eps: float = 1e-6):
     volume is never materialized (VERDICT round-1 item; ~0.7 GB/chunk at
     SDD scale, and the depth_to_space + transpose cost ~45% of the whole
     decode program on v5e).
+
+    channel selects ONE logical channel (returns (B, 1, 2)): the slice
+    happens inside the reduction instead of the caller stacking 4 strided
+    sub-position slices into a new array (the stack alone cost ~1 ms/step
+    in the train-metrics path, xprof r3).
     """
     xq = jnp.asarray(packed_nhwc)
     B, Hp, Wp, C4 = xq.shape
     C = n_channels
     assert C4 == 4 * C, (C4, C)
-    x = xq.reshape(B, Hp, Wp, 4, C).astype(jnp.float32)
+    x = xq.reshape(B, Hp, Wp, 4, C)
+    if channel is not None:
+        x = x[..., channel:channel + 1]
+        C = 1
+    x = x.astype(jnp.float32)
     m = x.max(axis=(1, 2, 3))  # (B, C)
     e = jnp.exp(x - m[:, None, None, None, :])
     s4 = e.sum(axis=(1, 2))  # (B, 4, C) per-subposition mass

@@ -162,6 +162,14 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
     """
     waypoints = jnp.asarray(scfg.waypoints)
     pack0 = bool(scfg.packed_decode) and ynet_lib.can_pack_stage0(mcfg)
+    # stage 1 packs too when eligible (its 32ch half-res convs waste 3/4 of
+    # the MXU lanes; r3 train xprof) — train-only, the eval program keeps
+    # its measured-optimal shape. Packed features[1] is consumed by the
+    # decoders' DEEP packed level, so that level must exist (<=32 channels
+    # at the second-finest decoder block).
+    pack1 = (bool(scfg.packed_decode) and ynet_lib.can_pack_stage1(mcfg)
+             and len(mcfg.decoder_channels) >= 3
+             and mcfg.decoder_channels[-2] <= 32)
     # encoder emits one feature per stage + the final pool
     L_FEATS = len(mcfg.encoder_channels) + 1
 
@@ -201,14 +209,17 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
 
         features, new_state = ynet_lib.pred_features(
             params, state, mcfg, semantic, observed_map, train=True,
-            packed_stage0=pack0)
+            packed_stage0=pack0, packed_stage1=pack1)
         if seg_updates:
             new_state = {**(new_state or {}),
                          "segmentation_bn": seg_updates}
-        # logits back to f32: BCE/softargmax stay full precision
-        pred_goal_map = ynet_lib.pred_goal(
+        # logits back to f32: BCE stays full precision (the metric
+        # softargmax reads the compute-dtype map instead — half the bytes,
+        # and exp/sums run in f32 inside softargmax2d_packed anyway)
+        pred_goal_map_c = ynet_lib.pred_goal(
             params, features, scfg.packed_decode, pack0,
-            return_packed=packed).astype(jnp.float32)
+            return_packed=packed, features1_packed=pack1)
+        pred_goal_map = pred_goal_map_c.astype(jnp.float32)
         goal_loss = bce_with_logits(pred_goal_map, gt_future_map,
                                     mask) * scfg.loss_scale
 
@@ -217,21 +228,22 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
         decode = ynet_lib.make_shared_pred_traj(
             params, features, len(scfg.waypoints),
             packed_finest=scfg.packed_decode, features0_packed=pack0,
-            return_packed=packed, wp_finest_packed=packed)
-        pred_traj_map = decode(wp_pyramid).astype(jnp.float32)
+            return_packed=packed, wp_finest_packed=packed,
+            features1_packed=pack1)
+        pred_traj_map_c = decode(wp_pyramid)
+        pred_traj_map = pred_traj_map_c.astype(jnp.float32)
         traj_loss = bce_with_logits(pred_traj_map, gt_future_map,
                                     mask) * scfg.loss_scale
         loss = goal_loss + traj_loss
 
-        # top-1 softargmax train metrics (train_epoch.py:117-126)
+        # top-1 softargmax train metrics (train_epoch.py:117-126); fed the
+        # compute-dtype maps (metrics don't need f32 logits reads) and the
+        # goal point slices its one channel inside the reduction
         if packed:
-            pred_traj_pts = softargmax2d_packed(pred_traj_map,
+            pred_traj_pts = softargmax2d_packed(pred_traj_map_c,
                                                 scfg.pred_len)
-            # last waypoint channel across the 4 sub-positions
-            last = jnp.stack([pred_goal_map[..., k * scfg.pred_len
-                                            + scfg.pred_len - 1]
-                              for k in range(4)], axis=-1)
-            pred_goal_pts = softargmax2d_packed(last, 1)
+            pred_goal_pts = softargmax2d_packed(
+                pred_goal_map_c, scfg.pred_len, channel=scfg.pred_len - 1)
         else:
             pred_traj_pts = softargmax2d_nhwc(pred_traj_map)
             pred_goal_pts = softargmax2d_nhwc(pred_goal_map[..., -1:])

@@ -401,3 +401,128 @@ def test_train_loss_packed_equals_unpacked(rng):
     for k in outs[False]:
         np.testing.assert_allclose(outs[True][k], outs[False][k],
                                    rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_packed_stage1_encoder_equivalence(rng):
+    """packed_stage1 encoder: features[1] (unpacked view) and all deeper
+    features equal the standard encoder; features[0] stays the packed
+    stage-0 output."""
+    import jax
+
+    from mst_tpu.models import ynet as jynet
+
+    for train_net, position in [("train", ()),
+                                ("mosa_2", ("0", "1", "2"))]:
+        cfg = jynet.YNetConfig(
+            obs_len=4, pred_len=6, n_semantic_classes=3,
+            encoder_channels=(8, 8, 16, 16, 16),
+            decoder_channels=(16, 16, 16, 8, 8), waypoints=(5,),
+            train_net=train_net, position=position, network="original")
+        assert jynet.can_pack_stage1(cfg)
+        params, state = jynet.init_ynet(jax.random.PRNGKey(0), cfg)
+        B, H, W = 2, 32, 64
+        scene = jnp.asarray(
+            rng.normal(size=(B, H, W, 3)).astype(np.float32))
+        motion = jnp.asarray(
+            rng.normal(size=(B, H, W, cfg.obs_len)).astype(np.float32))
+        want, _ = jynet.pred_features(params, state, cfg, scene, motion)
+        got, _ = jynet.pred_features(params, state, cfg, scene, motion,
+                                     packed_stage0=True,
+                                     packed_stage1=True)
+        np.testing.assert_allclose(
+            np.asarray(P.depth_to_space(got[0])), np.asarray(want[0]),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(P.depth_to_space(got[1])), np.asarray(want[1]),
+            rtol=1e-4, atol=1e-5)
+        for a, b in zip(got[2:], want[2:]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_cannot_pack_stage1_variants():
+    from mst_tpu.models import ynet as jynet
+
+    base = dict(obs_len=4, pred_len=6, n_semantic_classes=4,
+                encoder_channels=(8, 8, 16, 16, 16),
+                decoder_channels=(16, 16, 16, 8, 8), waypoints=(5,))
+    # block adapter at position 1 blocks stage 1 (but not stage 0)
+    cfg = jynet.YNetConfig(**base, train_net="serial", position=("1",),
+                           network="original")
+    assert jynet.can_pack_stage0(cfg) and not jynet.can_pack_stage1(cfg)
+    # per-layer adapters block both
+    assert not jynet.can_pack_stage1(jynet.YNetConfig(
+        **base, train_net="parallelLayer_3x3", position=("1",),
+        network="original"))
+    # position-2 block adapter is fine for stages 0 and 1
+    assert jynet.can_pack_stage1(jynet.YNetConfig(
+        **base, train_net="serial", position=("2",), network="original"))
+
+
+def test_train_step_packed_stage1_goal_metric_channel(rng):
+    """softargmax2d_packed(channel=...) == stacking the 4 sub-position
+    slices of that channel (the old train-metric construction)."""
+    from mst_tpu.ops.softargmax import softargmax2d_packed
+
+    B, Hp, Wp, C = 3, 16, 24, 6
+    xq = rng.normal(size=(B, Hp, Wp, 4 * C)).astype(np.float32)
+    for b in range(B):
+        xq[b, rng.integers(Hp), rng.integers(Wp),
+           rng.integers(4) * C + C - 1] = 9.0
+    xq = jnp.asarray(xq)
+    want = softargmax2d_packed(
+        jnp.stack([xq[..., k * C + C - 1] for k in range(4)], -1), 1)
+    got = softargmax2d_packed(xq, C, channel=C - 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_lora_separable_equals_merged(rng):
+    """The separable LoRA delta (1xk conv then kx1 conv) == the merged
+    loralib weight, unpacked and packed, values and A/B gradients."""
+    import jax
+
+    from mst_tpu.models import layers
+
+    k, cin, cout, rank = 3, 5, 7, 2
+    params = layers.lora_conv2d_init(jax.random.PRNGKey(0), cin, cout, k,
+                                     rank)
+    # non-zero B so the delta path actually contributes
+    params["lora_B"] = jnp.asarray(
+        rng.normal(size=params["lora_B"].shape).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 12, 16, cin)).astype(np.float32))
+
+    want = layers.lora_conv2d_apply(params, x, rank)
+    got = layers.lora_conv2d_apply(params, x, rank, separable=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradients wrt the factors agree between the two forms
+    def loss(form):
+        def f(ab):
+            p = dict(params, lora_A=ab["A"], lora_B=ab["B"])
+            return jnp.sum(layers.lora_conv2d_apply(
+                p, x, rank, separable=form) ** 2)
+        return jax.grad(f)({"A": params["lora_A"], "B": params["lora_B"]})
+
+    g_m, g_s = loss(False), loss(True)
+    np.testing.assert_allclose(np.asarray(g_s["A"]), np.asarray(g_m["A"]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_s["B"]), np.asarray(g_m["B"]),
+                               rtol=1e-3, atol=1e-4)
+
+    # packed conv-unit (train form) == unpacked merged
+    from mst_tpu.models import ynet as jynet
+
+    cfg = jynet.YNetConfig(
+        obs_len=4, pred_len=6, n_semantic_classes=cin - 4,
+        encoder_channels=(cout, 8, 16, 16, 16),
+        decoder_channels=(16, 16, 16, 8, 8), waypoints=(5,),
+        train_net="mosa_2", position=("0",), network="original")
+    xq = P.space_to_depth(x)
+    yq = jynet._packed_conv_unit(xq, params, cfg, 0, separable=True)
+    np.testing.assert_allclose(
+        np.asarray(P.depth_to_space(yq)),
+        np.asarray(want) + (np.asarray(params["bias"]) if "bias" in params
+                            else 0) * 0,
+        rtol=1e-4, atol=1e-5)
