@@ -294,8 +294,29 @@ def _with_deadline(fn, seconds, what):
         signal.signal(signal.SIGALRM, old)
 
 
+def _check_pallas_softargmax():
+    """On-TPU numeric crosscheck of the Pallas softargmax against the XLA
+    lowering (the CPU CI suite can only exercise it in interpret mode, so
+    a Pallas regression would otherwise surface silently here)."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return
+    from mst_tpu.ops.softargmax import softargmax2d, softargmax2d_auto
+
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(4, 6, 96, 128)).astype(np.float32)
+    logits[..., 40, 70] = 8.0  # peaked, the operating regime
+    want = np.asarray(softargmax2d(jnp.asarray(logits)))
+    got = np.asarray(softargmax2d_auto(jnp.asarray(logits)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+    _log("pallas softargmax crosscheck vs XLA: OK")
+
+
 def main():
     t0 = time.perf_counter()
+    _with_deadline(_check_pallas_softargmax, 300, "pallas crosscheck")
     bf16 = measure_jax(compute_dtype="bfloat16")  # headline leg, unguarded
     _log(f"jax bf16 measured in {time.perf_counter() - t0:.1f}s: {bf16}")
     t0 = time.perf_counter()

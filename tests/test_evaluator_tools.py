@@ -435,3 +435,72 @@ class TestGoalOutputFigures:
         arr = im.get_array()
         assert arr[2, 2] == 0.5 and arr[3, 3] == 0.0 and arr[0, 0] == 1.0
         plt.close(fig)
+
+
+def test_activations_cli_goal_output(tmp_path, monkeypatch):
+    """The activations CLI end-to-end with --goal_output: restores two
+    checkpoints, captures activations through the real probe forward, and
+    writes the per-sample goal-decoder diff figures (reference
+    plot_goal_output, visualization.py:128-257)."""
+    import glob
+    import sys
+
+    import cv2
+    import yaml
+
+    from mst_tpu.evaluator import activations as act_cli
+    from mst_tpu.train.checkpoints import save_checkpoint
+
+    df, images = make_synthetic_dataset(seed=0, n_scenes=1, n_traj=6,
+                                        total_len=TOTAL_LEN,
+                                        img_hw=(96, 128))
+    root = tmp_path
+    # on-disk world: config + images (use_raw_data False layout) + pkls
+    ddir = root / "data" / "sdd" / "filter" / "synth"
+    ddir.mkdir(parents=True)
+    df.to_pickle(ddir / "test.pkl")
+    df.to_pickle(ddir / "train.pkl")
+    df.to_pickle(ddir / "val.pkl")
+    img_dir = root / "data" / "sdd" / "raw" / "annotations" / "synth_0"
+    img_dir.mkdir(parents=True)
+    cv2.imwrite(str(img_dir / "reference.jpg"),
+                (images["synth_0"] * 255).astype(np.uint8))
+    cfg = dict(obs_len=4, pred_len=TOTAL_LEN - 4, waypoints=[7],
+               n_semantic_classes=3, encoder_channels=[8, 8, 16, 16, 16],
+               decoder_channels=[16, 16, 16, 8, 8], kernlen=31, nsig=4,
+               loss_scale=1000, resize_factor=0.25, temperature=1.0,
+               n_goal=4, n_traj=1, use_raw_data=False,
+               data_dir=str(root / "data") + "/", dataset_name="sdd")
+    cfg_path = root / "synth_eval.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    # two tiny ckpts (different seeds -> nonzero diff maps)
+    import jax
+
+    from mst_tpu import config as config_lib
+    from mst_tpu.models import ynet as ynet_lib
+
+    params_dict = config_lib.get_params(
+        config_filename=str(cfg_path),
+        overrides=dict(segmentation_model_fp=None))
+    mcfg = config_lib.ynet_config(params_dict)
+    ckpts = []
+    for seed in (0, 1):
+        p, _ = ynet_lib.init_ynet(jax.random.PRNGKey(seed), mcfg)
+        path = root / f"ckpt_{seed}.npz"
+        save_checkpoint(str(path), p)
+        ckpts.append(str(path))
+
+    out_dir = root / "figs"
+    monkeypatch.setattr(sys, "argv", [
+        "activations", "--config_filename", str(cfg_path),
+        "--seed", "1", "--batch_size", "4", "--dataset_path", "filter/synth",
+        "--load_data", "predefined",
+        "--ckpts", ckpts[0], ckpts[1], "--ckpts_name", "OODG", "FT",
+        "--given_meta_ids", str(int(df.metaId.iloc[0])),
+        "--out_dir", str(out_dir), "--goal_output",
+        "--inhance_threshold", "0.1",
+    ])
+    act_cli.main()
+    figs = glob.glob(str(out_dir / "**" / "*diff_single*"), recursive=True)
+    assert figs, "no goal_output figures written"
