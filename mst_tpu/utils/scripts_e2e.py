@@ -285,18 +285,30 @@ def build_raw_fixtures(dst, seed=11):
     dst = pathlib.Path(dst)
 
     # --- SDD: annotations/<scene>/video<N>/annotations.txt -----------------
-    # step=12 x window=20 needs >= 229 raw frames; 500 gives 2 windows
-    n_frames, hw = 500, _RAW_HW["sdd"]
+    # step=12 x window=20 needs >= 229 raw frames. The prep sandbox uses
+    # its own (larger) canvas: avg_vel is measured in RAW px/frame and the
+    # bucket ranges are (0.5, 3.5) / (4, 8), so tracks must travel far
+    n_frames, hw = 240, (720, 1280)
     for scene, video in (("deathCircle", "video0"), ("deathCircle", "video1")):
         d = dst / "data" / "sdd" / "raw" / "annotations" / scene / video
         d.mkdir(parents=True, exist_ok=True)
         rows = []
         tid = 0
         for label in ("Pedestrian", "Biker"):
-            for _ in range(3):
-                x = rng.uniform(20, hw[1] - 20)
-                y = rng.uniform(20, hw[0] - 20)
-                vx, vy = rng.uniform(-0.1, 0.1, size=2)
+            for j in range(3):
+                # spread speeds across the velocity-bucket ranges
+                # ((0.5, 3.5) and (4, 8) px/step after the 12-frame
+                # downsample) so the avg_vel datasets are non-empty;
+                # start positions leave room for the full travel (clipping
+                # at borders would zero the measured velocity)
+                speed = (1.0, 2.5, 4.8)[j]
+                # mostly-horizontal so even the fast tracks fit the canvas
+                vx = speed * rng.choice([-1.0, 1.0])
+                vy = rng.uniform(-0.5, 0.5)
+                x = rng.uniform(5 + max(0.0, -vx * n_frames),
+                                hw[1] - 5 - max(0.0, vx * n_frames))
+                y = rng.uniform(5 + max(0.0, -vy * n_frames),
+                                hw[0] - 5 - max(0.0, vy * n_frames))
                 for f in range(n_frames):
                     cx = np.clip(x + vx * f, 2, hw[1] - 2)
                     cy = np.clip(y + vy * f, 2, hw[0] - 2)

@@ -73,6 +73,11 @@ def test_preprocessing_pipelines(sandbox):
     assert os.path.exists(os.path.join(
         prep, "data/sdd/filter/shortterm/agent_type/deathCircle_0",
         "Biker.pkl"))
+    # the velocity-bucket datasets too (biker_low_to_high's pretrain
+    # reads avg_vel/Biker/0.5_3.5.pkl)
+    for f in ("0.5_3.5.pkl", "4_8.pkl"):
+        assert os.path.exists(os.path.join(
+            prep, "data/sdd/filter/shortterm/avg_vel/Biker", f)), f
     import glob
     ind_pkls = glob.glob(os.path.join(
         prep, "data/inD-dataset-v1.0/filter/longterm", "**", "*.pkl"),
