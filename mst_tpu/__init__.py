@@ -17,6 +17,39 @@ adaptation via low-rank adapters), built TPU-first:
 __version__ = "0.1.0"
 
 
+def _honor_platform_env():
+    """Make the JAX_PLATFORMS env var effective even when a site hook
+    pre-configured the platform list.
+
+    Some managed environments pre-import jax at interpreter start and call
+    jax.config.update("jax_platforms", ...) to pin a hardware backend
+    (e.g. the tunneled-TPU axon site) — which silently overrides the
+    JAX_PLATFORMS env var jax would otherwise honor. Callers that export
+    JAX_PLATFORMS=cpu for hermetic CLI runs (tests, the synthetic scripts
+    sweep) then end up on the hardware backend anyway. Re-assert the env
+    var here (the first mst_tpu import, before any backend is
+    initialized); a no-op when the env var is unset or already satisfied.
+    """
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        current = jax.config.jax_platforms or ""
+        # treat "axon" vs "axon,cpu" as satisfied: the site hook appends
+        # the cpu host platform on purpose (host-side arrays)
+        if current.split(",")[0] != want.split(",")[0]:
+            jax.config.update("jax_platforms", want)
+    except Exception:
+        pass  # backend already initialized or jax absent: leave as-is
+
+
+_honor_platform_env()
+
+
 def experiment(params, **kwargs):
     """Convenience constructor: mst_tpu.experiment(params_dict)."""
     from mst_tpu.train.trainer import Experiment

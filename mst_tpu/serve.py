@@ -1,0 +1,291 @@
+"""Deployment/export: portable serving artifacts for the predict path.
+
+The reference has no serving story — its only inference surface is the
+metrics-bound eval CLI (reference test.py + utils/evaluate.py:37-315,
+which needs ground-truth futures and a pandas DataFrame). This module
+packages the same forward+sampling+decode pipeline (steps.make_predict_step)
+as a self-contained model directory:
+
+    model_dir/
+      manifest.json   input shapes/dtypes, protocol constants, platforms
+      forward.jaxir   jax.export StableHLO artifact: pad + encoder +
+                      goal decoder + goal/waypoint sampling
+      decode.jaxir    jax.export StableHLO artifact: K-chunked
+                      waypoint-conditioned trajectory decode
+      params.npz      full merged parameters (segmentation included)
+      state.npz       model state (BN running stats), may be empty
+
+The two sub-programs stay split exactly like the eval path (one monolithic
+program at SDD scale costs ~5 min of XLA compile; the split compiles in
+well under a minute and runs at the same steady-state rate) — a serving
+binary pays the same startup cost tradeoff. Artifacts are serialized
+StableHLO with jax.export's versioned calling convention: they load in any
+later jax without the mst_tpu source tree, subject to jax's export
+compatibility guarantees (6 months backward / 3 weeks forward for custom
+calls).
+
+Export is multi-platform by default (cpu + tpu): lowering is platform-
+parameterized, so one artifact serves both a TPU fleet and a CPU canary.
+"""
+
+import json
+import os
+import pathlib
+
+import numpy as np
+
+_FORWARD_FILE = "forward.jaxir"
+_DECODE_FILE = "decode.jaxir"
+_PARAMS_FILE = "params.npz"
+_STATE_FILE = "state.npz"
+_MANIFEST_FILE = "manifest.json"
+
+
+def _canonical(tree):
+    """Round-trip a pytree through the flat path encoding so its structure
+    is exactly what load-time unflatten_dict reconstructs (all-dict nodes,
+    string keys). The exported in_tree must match the reconstruction."""
+    import jax
+
+    from mst_tpu.train.checkpoints import unflatten_dict
+    from mst_tpu.train.freeze import path_to_str
+
+    flat = {}
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(
+            tree, is_leaf=lambda x: x is None)[0]:
+        if leaf is None:
+            continue
+        flat[path_to_str(key_path)] = leaf
+    return unflatten_dict(flat)
+
+
+def _specs(tree):
+    import jax
+
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+        if not hasattr(x, "shape") else jax.ShapeDtypeStruct(x.shape,
+                                                             x.dtype),
+        tree)
+
+
+def export_model(experiment, out_dir, height, width, batch_size,
+                 semantic_channels=None, platforms=("cpu", "tpu"),
+                 segment_in_step=False, eval_k_chunk=None):
+    """Export a restored Experiment's predict path to `out_dir`.
+
+    Args:
+      experiment: mst_tpu.train.trainer.Experiment with checkpoints
+        already restored (restore_model / load_params).
+      height, width: model-space scene-map size; must be multiples of the
+        encoder's division factor (2^n_stages) — preprocess_scene_images
+        pads to this.
+      batch_size: trajectories per predict call.
+      semantic_channels: channels of the semantic input; defaults to
+        n_semantic_classes (the segmented map). With segment_in_step the
+        input is the raw preprocessed image instead (3 channels) and the
+        segmentation backbone runs inside the exported program.
+      platforms: jax.export lowering platforms.
+      eval_k_chunk: override the config's K-chunking for the decode
+        program.
+
+    Returns the manifest dict.
+    """
+    import jax
+
+    from mst_tpu.train import steps as steps_lib
+    from mst_tpu.train.checkpoints import save_checkpoint
+
+    p = experiment.params
+    div = experiment.division_factor
+    if height % div or width % div:
+        raise ValueError(f"height/width must be multiples of {div} "
+                         f"(got {height}x{width}); preprocess pads to this")
+    scfg = experiment._step_config(eval_k_chunk=eval_k_chunk,
+                                   segment_in_step=segment_in_step)
+    predict = steps_lib.make_predict_step(experiment.mcfg, scfg)
+
+    params = _canonical(experiment.model_params)
+    state = _canonical(experiment.model_state)
+    if segment_in_step:
+        sem_c = 3 if semantic_channels is None else semantic_channels
+    else:
+        sem_c = (int(p["n_semantic_classes"]) if semantic_channels is None
+                 else semantic_channels)
+    f32 = np.dtype("float32")
+    sem_spec = jax.ShapeDtypeStruct((1, height, width, sem_c), f32)
+    obs_spec = jax.ShapeDtypeStruct((batch_size, int(p["obs_len"]), 2), f32)
+    key = jax.random.PRNGKey(0)
+    key_spec = jax.ShapeDtypeStruct(key.shape, key.dtype)
+    p_spec, s_spec = _specs(params), _specs(state)
+
+    platforms = list(platforms)
+    fwd_exp = jax.export.export(predict.forward, platforms=platforms)(
+        p_spec, s_spec, sem_spec, obs_spec, key_spec)
+    fwd_out = jax.eval_shape(predict.forward, p_spec, s_spec, sem_spec,
+                             obs_spec, key_spec)
+    feat_spec, wps_spec = fwd_out[0], fwd_out[1]
+    dec_exp = jax.export.export(predict.decode_trajs, platforms=platforms)(
+        p_spec, feat_spec, wps_spec)
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / _FORWARD_FILE).write_bytes(fwd_exp.serialize())
+    (out / _DECODE_FILE).write_bytes(dec_exp.serialize())
+    save_checkpoint(str(out / _PARAMS_FILE), params,
+                    exclude_segmentation=False)
+    save_checkpoint(str(out / _STATE_FILE), state,
+                    exclude_segmentation=False)
+
+    manifest = {
+        "format": "mst_tpu.serve/1",
+        "platforms": platforms,
+        "semantic_shape": [1, height, width, sem_c],
+        "observed_shape": [batch_size, int(p["obs_len"]), 2],
+        "obs_len": int(p["obs_len"]),
+        "pred_len": int(p["pred_len"]),
+        "n_goal": int(p["n_goal"]),
+        "n_traj": int(p["n_traj"]),
+        "waypoints": list(map(int, p["waypoints"])),
+        "resize_factor": float(p["resize_factor"]),
+        "temperature": float(p.get("temperature", 1.0)),
+        "use_TTST": bool(p.get("use_TTST", False)),
+        "use_CWS": bool(p.get("use_CWS", False)),
+        "compute_dtype": str(p.get("compute_dtype", "float32")),
+        "segment_in_step": bool(segment_in_step),
+        "network": p.get("network", "original"),
+        "train_net": p.get("train_net"),
+        "files": {"forward": _FORWARD_FILE, "decode": _DECODE_FILE,
+                  "params": _PARAMS_FILE, "state": _STATE_FILE},
+    }
+    with open(out / _MANIFEST_FILE, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+class LoadedModel:
+    """A model dir written by export_model, ready to predict.
+
+    Needs only jax + numpy (no mst_tpu model code): the programs are
+    deserialized StableHLO, the parameters a flat npz.
+    """
+
+    def __init__(self, model_dir):
+        import jax
+
+        from mst_tpu.train.checkpoints import load_checkpoint, unflatten_dict
+
+        d = pathlib.Path(model_dir)
+        with open(d / _MANIFEST_FILE) as f:
+            self.manifest = json.load(f)
+        files = self.manifest["files"]
+        self._forward = jax.export.deserialize(
+            (d / files["forward"]).read_bytes())
+        self._decode = jax.export.deserialize(
+            (d / files["decode"]).read_bytes())
+        self.params = unflatten_dict(load_checkpoint(str(d / files["params"])))
+        state_flat = load_checkpoint(str(d / files["state"]))
+        self.state = unflatten_dict(state_flat) if state_flat else {}
+
+    def predict(self, semantic, observed, key=None, seed=0):
+        """semantic (1, H, W, C) + observed (B, obs_len, 2) model-space px
+        -> {trajectories (K, B, pred_len, 2), waypoints (K, B, n_wp, 2)}
+        in raw-image pixels."""
+        import jax
+
+        if key is None:
+            key = jax.random.PRNGKey(seed)
+        semantic = np.asarray(semantic, np.float32)
+        observed = np.asarray(observed, np.float32)
+        fwd_out = self._forward.call(self.params, self.state, semantic,
+                                     observed, key)
+        features, wps = fwd_out[0], fwd_out[1]
+        trajs = self._decode.call(self.params, features, wps)
+        rf = self.manifest["resize_factor"]
+        return {"trajectories": np.asarray(trajs) / rf,
+                "waypoints": np.asarray(wps) / rf}
+
+
+def load_model(model_dir):
+    return LoadedModel(model_dir)
+
+
+# ---------------------------------------------------------------------------
+# CLI: python -m mst_tpu.serve export|check
+# ---------------------------------------------------------------------------
+
+def _main():
+    import argparse
+    import time
+
+    parser = argparse.ArgumentParser(
+        description="export / smoke-check serving artifacts")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    ex = sub.add_parser("export")
+    ex.add_argument("--config_filename", required=True)
+    ex.add_argument("--pretrained_ckpt", required=True)
+    ex.add_argument("--tuned_ckpt", default=None)
+    ex.add_argument("--out_dir", required=True)
+    ex.add_argument("--height", type=int, required=True,
+                    help="model-space scene-map height (post resize+pad)")
+    ex.add_argument("--width", type=int, required=True)
+    ex.add_argument("--batch_size", type=int, default=8)
+    ex.add_argument("--network", default=None)
+    ex.add_argument("--n_fusion", type=int, default=None)
+    ex.add_argument("--semantic_channels", type=int, default=None)
+    ex.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+    ex.add_argument("--segment_in_step", action="store_true")
+    ex.add_argument("--eval_k_chunk", type=int, default=None)
+
+    ck = sub.add_parser("check")
+    ck.add_argument("--model_dir", required=True)
+    ck.add_argument("--seed", type=int, default=0)
+
+    args = parser.parse_args()
+    if args.command == "export":
+        from mst_tpu import config as config_lib
+        from mst_tpu.train.trainer import restore_model
+
+        overrides = {}
+        if args.network:
+            overrides["network"] = args.network
+        if args.n_fusion is not None:
+            overrides["n_fusion"] = args.n_fusion
+        params = config_lib.get_params(
+            config_filename=args.config_filename, overrides=overrides)
+        model = restore_model(params, bool(args.tuned_ckpt),
+                              args.pretrained_ckpt, args.tuned_ckpt)
+        manifest = export_model(
+            model, args.out_dir, args.height, args.width, args.batch_size,
+            semantic_channels=args.semantic_channels,
+            platforms=tuple(args.platforms),
+            segment_in_step=args.segment_in_step,
+            eval_k_chunk=args.eval_k_chunk)
+        sizes = {f: os.path.getsize(os.path.join(args.out_dir, f))
+                 for f in manifest["files"].values()}
+        print(f"exported to {args.out_dir}: {json.dumps(sizes)}")
+        return
+
+    model = load_model(args.model_dir)
+    m = model.manifest
+    rng = np.random.default_rng(args.seed)
+    _, h, w, c = m["semantic_shape"]
+    b, obs, _ = m["observed_shape"]
+    semantic = rng.normal(size=(1, h, w, c)).astype(np.float32)
+    observed = rng.uniform(0.25 * min(h, w), 0.75 * min(h, w),
+                           size=(b, obs, 2)).astype(np.float32)
+    t0 = time.perf_counter()
+    out = model.predict(semantic, observed, seed=args.seed)
+    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = model.predict(semantic, observed, seed=args.seed + 1)
+    dt2 = time.perf_counter() - t0
+    print(f"predict ok: trajectories {out['trajectories'].shape} "
+          f"waypoints {out['waypoints'].shape} "
+          f"(first call {dt:.2f}s incl. compile, second {dt2:.3f}s)")
+    assert np.isfinite(out["trajectories"]).all()
+
+
+if __name__ == "__main__":
+    _main()

@@ -363,13 +363,13 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
         return features, waypoint_samples
 
     @jax.jit
-    def decode_and_score(params, features, waypoint_samples, traj, mask,
-                         batch_hom):
-        """All K decodes (lax.map over chunks, body compiled once) + the
-        min-over-K metrics (evaluate.py:248-291). Encoder contributions to
-        the trajectory decoder are hoisted out of the K loop
-        (ynet.make_shared_pred_traj): conv linearity makes them K-invariant.
-        """
+    def _decode_all(params, features, waypoint_samples):
+        """All K decodes (lax.map over chunks, body compiled once) ->
+        (Ktot, B, pred_len, 2) model-space trajectories. Encoder
+        contributions to the trajectory decoder are hoisted out of the K
+        loop (ynet.make_shared_pred_traj): conv linearity makes them
+        K-invariant. Shared by the eval metrics path and the serving
+        predict/export path (mst_tpu.serve)."""
         if pack0:  # features[0] is space-to-depth packed (half-res, 4C)
             H, W = features[1].shape[-3] * 2, features[1].shape[-2] * 2
         else:
@@ -416,11 +416,17 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
                 f"eval_k_chunk={kc} must divide K={Ktot} "
                 f"(n_goal*n_traj); pick a divisor or 0 for all-at-once")
         if kc == Ktot:
-            trajs_samples = decode_chunk(waypoint_samples)
-        else:
-            chunks = waypoint_samples.reshape(Ktot // kc, kc, B, n_wp, 2)
-            trajs_samples = jax.lax.map(
-                decode_chunk, chunks).reshape(Ktot, B, scfg.pred_len, 2)
+            return decode_chunk(waypoint_samples)
+        chunks = waypoint_samples.reshape(Ktot // kc, kc, B, n_wp, 2)
+        return jax.lax.map(
+            decode_chunk, chunks).reshape(Ktot, B, scfg.pred_len, 2)
+
+    @jax.jit
+    def decode_and_score(params, features, waypoint_samples, traj, mask,
+                         batch_hom):
+        """K decodes (_decode_all) + the min-over-K metrics
+        (evaluate.py:248-291)."""
+        trajs_samples = _decode_all(params, features, waypoint_samples)
 
         gt_future = traj[:, scfg.obs_len:]
         if scfg.world_coords:
@@ -483,10 +489,63 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
         return out
 
     # the two compiled sub-programs, exposed for FLOP accounting (bench.py
-    # lowers them through XLA cost analysis)
+    # lowers them through XLA cost analysis); decode_trajs is the
+    # metrics-free K-decode used by the serving/export path (mst_tpu.serve)
     eval_step.forward = forward
     eval_step.decode_and_score = decode_and_score
+    eval_step.decode_trajs = _decode_all
     return eval_step
+
+
+def make_predict_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
+    """Serving-path predict: no ground truth, returns ALL K sampled
+    trajectories in raw-image pixels.
+
+    The reference has no deployment story beyond its eval CLI (test.py /
+    utils/evaluate.py computes metrics against ground truth inline); this
+    is the same forward+sampling+decode pipeline with the metrics tail
+    removed, packaged for export (mst_tpu.serve serializes the two
+    sub-programs as portable StableHLO artifacts via jax.export).
+
+    Signature: (params, state, semantic, observed, key) -> dict with
+      trajectories (K, B, pred_len, 2)  raw px (K = n_goal * n_traj)
+      waypoints    (K, B, n_wp, 2)      raw px
+
+    `observed` is (B, obs_len, 2) in model-space (resized) pixels, i.e.
+    raw detections * resize_factor — same convention as the train/eval
+    batches. `semantic` is the per-scene semantic map (1 or B, H, W, C),
+    or the raw preprocessed image when scfg.segment_in_step.
+
+    The two sub-programs (forward+sampling, K-chunked decode) are exposed
+    as predict.forward / predict.decode_trajs for separate export: the
+    split compiles ~5x faster than one monolithic program at SDD scale
+    (see make_eval_step) — worth keeping at deployment startup too.
+    """
+    es = make_eval_step(mcfg, scfg)
+
+    @jax.jit
+    def forward(params, state, semantic, observed, key):
+        B = observed.shape[0]
+        # the eval programs slice obs_len internally and only read the
+        # future rows in the metrics tail (absent here): zero-pad to
+        # total_len rather than forking _prepare_inputs
+        traj = jnp.concatenate(
+            [observed, jnp.zeros((B, scfg.pred_len, 2), observed.dtype)],
+            axis=1)
+        return es.forward(params, state,
+                          {"semantic": semantic, "traj": traj}, key)
+
+    @jax.jit
+    def predict(params, state, semantic, observed, key):
+        features, waypoint_samples = forward(params, state, semantic,
+                                             observed, key)
+        trajs = es.decode_trajs(params, features, waypoint_samples)
+        return {"trajectories": trajs / scfg.resize_factor,
+                "waypoints": waypoint_samples / scfg.resize_factor}
+
+    predict.forward = forward
+    predict.decode_trajs = es.decode_trajs
+    return predict
 
 
 def cws_gaussian_prior(mean, dist, sigma_factor, ratio, rot, H, W):

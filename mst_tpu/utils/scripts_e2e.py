@@ -382,6 +382,11 @@ def _main():
                         help="substring filter on script paths")
     parser.add_argument("--timeout", type=int, default=1800)
     parser.add_argument("--skip_preprocessing", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip suites already ok in --out")
+    parser.add_argument("--resume_log", default=None,
+                        help="seed --resume state from a sweep stdout log"
+                             " (recovers an interrupted run's ok lines)")
     args = parser.parse_args()
 
     scripts = experiment_scripts()
@@ -398,9 +403,40 @@ def _main():
     if args.command == "build":
         return
 
+    done = {}
+    if args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f).get("results", {})
+        done.update({k: v for k, v in prev.items() if v.get("ok")})
+    if args.resume_log and os.path.exists(args.resume_log):
+        # "[e2e] ok  <script> (N/M runs, Xs, i/total)" lines of an
+        # interrupted sweep (its final JSON never got written)
+        line_re = re.compile(
+            r"^\[e2e\] ok\s+(\S+)(?: \((\d+)/(\d+) runs, ([\d.]+)s)?")
+        for line in open(args.resume_log):
+            m = line_re.match(line)
+            if not m:
+                continue
+            rel = m.group(1)
+            entry = {"rc": 0, "ok": True, "resumed_from_log": True}
+            if m.group(2):
+                entry.update(n_avg=int(m.group(2)), expected=int(m.group(3)),
+                             seconds=float(m.group(4)))
+            done[rel] = entry
+    if done:
+        print(f"[e2e] resuming: {len(done)} suites already ok", flush=True)
+
     results, n_ok = {}, 0
     t_all = time.time()
-    if not args.skip_preprocessing:
+    for rel, entry in done.items():
+        results[rel] = entry
+        n_ok += 1
+    if args.skip_preprocessing:
+        pass
+    elif all(p in done for p in ("scripts/sdd/preprocessing.sh",
+                                 "scripts/inD/preprocessing.sh")):
+        pass
+    else:
         for rel, (rc, out) in run_preprocessing(
                 sb, timeout=args.timeout).items():
             ok = rc == 0
@@ -409,6 +445,8 @@ def _main():
             n_ok += ok
             print(f"[e2e] {'ok ' if ok else 'FAIL'} {rel}", flush=True)
     for i, rel in enumerate(scripts):
+        if rel in done:
+            continue
         t = time.time()
         try:
             rc, out = run_script(rel, sb, timeout=args.timeout)
