@@ -286,6 +286,10 @@ def _with_deadline(fn, seconds, what):
     signal.alarm(int(seconds))
     try:
         return fn()
+    except AssertionError:
+        # A numeric mismatch (e.g. the Pallas crosscheck) is a real
+        # regression, not an infra hiccup — fail the bench loudly.
+        raise
     except Exception as exc:  # noqa: BLE001 — degrade, never die
         _log(f"{what} skipped: {type(exc).__name__}: {exc}")
         return None

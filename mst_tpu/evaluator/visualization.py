@@ -612,6 +612,11 @@ def get_hollow_cmap(threshold):
     increase/decrease regions over the scene image (reference
     visualization.py:585-602)."""
     import matplotlib as mpl
+    if not 0.0 <= threshold < 0.5:
+        raise ValueError(
+            f"inhance_threshold must be in [0, 0.5), got {threshold}: it is "
+            "the half-width of the transparent middle band of a diverging "
+            "colormap, so >= 0.5 leaves no colored wings")
     N = 256
     cut = int(N * threshold)
     n_color = N // 2 - cut

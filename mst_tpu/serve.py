@@ -41,13 +41,32 @@ _STATE_FILE = "state.npz"
 _MANIFEST_FILE = "manifest.json"
 
 
+def _unflatten(flat):
+    """{'a/b/c': leaf} -> nested dicts. Local (not imported from
+    mst_tpu.train.checkpoints) so LoadedModel needs only jax + numpy;
+    used on BOTH the export and load side so the exported in_tree and the
+    load-time reconstruction match structurally by construction."""
+    out = {}
+    for key, val in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out
+
+
+def _load_npz(path):
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
 def _canonical(tree):
     """Round-trip a pytree through the flat path encoding so its structure
-    is exactly what load-time unflatten_dict reconstructs (all-dict nodes,
+    is exactly what load-time _unflatten reconstructs (all-dict nodes,
     string keys). The exported in_tree must match the reconstruction."""
     import jax
 
-    from mst_tpu.train.checkpoints import unflatten_dict
     from mst_tpu.train.freeze import path_to_str
 
     flat = {}
@@ -56,7 +75,7 @@ def _canonical(tree):
         if leaf is None:
             continue
         flat[path_to_str(key_path)] = leaf
-    return unflatten_dict(flat)
+    return _unflatten(flat)
 
 
 def _specs(tree):
@@ -173,8 +192,6 @@ class LoadedModel:
     def __init__(self, model_dir):
         import jax
 
-        from mst_tpu.train.checkpoints import load_checkpoint, unflatten_dict
-
         d = pathlib.Path(model_dir)
         with open(d / _MANIFEST_FILE) as f:
             self.manifest = json.load(f)
@@ -183,9 +200,9 @@ class LoadedModel:
             (d / files["forward"]).read_bytes())
         self._decode = jax.export.deserialize(
             (d / files["decode"]).read_bytes())
-        self.params = unflatten_dict(load_checkpoint(str(d / files["params"])))
-        state_flat = load_checkpoint(str(d / files["state"]))
-        self.state = unflatten_dict(state_flat) if state_flat else {}
+        self.params = _unflatten(_load_npz(str(d / files["params"])))
+        state_flat = _load_npz(str(d / files["state"]))
+        self.state = _unflatten(state_flat) if state_flat else {}
 
     def predict(self, semantic, observed, key=None, seed=0):
         """semantic (1, H, W, C) + observed (B, obs_len, 2) model-space px

@@ -9,7 +9,10 @@ CLIs with a reduced grid, asserting the reference's 'Average performance
 (by N)' contract.
 
 Used by `tests/test_scripts_e2e.py` (representative subset in CI) and
-`scripts/run_all_synthetic.sh` (full 95-suite sweep).
+`scripts/run_all_synthetic.sh` (full sweep: 91 experiment suites + the 2
+preprocessing pipelines = 93 results; the other 4 scripts/ entries are
+utility entry points — ckpt conversion, data fetch, parity runbook, and
+the sweep driver itself — not suites).
 
 Grid reduction: every script sources `$MST_GRID_OVERRIDES` (if set) after
 its variable block, so the harness pins seeds/lr/n_train/epochs to one

@@ -380,6 +380,19 @@ class TestGoalOutputFigures:
         # ...and the extremes are the most opaque of their wing
         assert colors[0, 3] > 0.5 and colors[-1, 3] > 0.5
 
+    def test_hollow_cmap_rejects_bandwidth_half_or_more(self):
+        # >= 0.5 leaves no colored wings (n_color <= 0): a clear error
+        # instead of matplotlib's opaque resample failure / blank figures
+        import pytest
+
+        from mst_tpu.evaluator.visualization import get_hollow_cmap
+        with pytest.raises(ValueError, match="inhance_threshold"):
+            get_hollow_cmap(0.5)
+        with pytest.raises(ValueError, match="inhance_threshold"):
+            get_hollow_cmap(0.6)
+        with pytest.raises(ValueError, match="inhance_threshold"):
+            get_hollow_cmap(-0.1)
+
     def test_ordinary_cmap_diverges(self):
         from mst_tpu.evaluator.visualization import get_ordinary_cmap
         colors = get_ordinary_cmap()(np.linspace(0, 1, 256))

@@ -162,3 +162,45 @@ def test_serve_cli(model, tmp_path):
     with open(out_dir / "manifest.json") as f:
         m = json.load(f)
     assert m["format"] == "mst_tpu.serve/1"
+
+
+def test_loader_is_standalone(model, tmp_path):
+    """LoadedModel's claim: jax + numpy only, no mst_tpu model/train code.
+
+    A subprocess installs an import hook that forbids every mst_tpu
+    subpackage except mst_tpu.serve itself, then loads + predicts."""
+    import os
+
+    serve.export_model(model, tmp_path / "m", H, W, B, platforms=("cpu",))
+    semantic, observed = _inputs(3)
+    np.save(tmp_path / "semantic.npy", semantic)
+    np.save(tmp_path / "observed.npy", observed)
+    prog = """
+import sys
+FORBIDDEN = ("mst_tpu.train", "mst_tpu.models", "mst_tpu.ops",
+             "mst_tpu.data", "mst_tpu.config", "mst_tpu.evaluator",
+             "mst_tpu.parallel", "mst_tpu.utils")
+
+class Guard:
+    def find_spec(self, name, path=None, target=None):
+        if name.startswith(FORBIDDEN):
+            raise ImportError(f"forbidden in a standalone deployment: {name}")
+        return None
+
+sys.meta_path.insert(0, Guard())
+import numpy as np
+from mst_tpu.serve import load_model
+model = load_model(sys.argv[1])
+out = model.predict(np.load(sys.argv[2]), np.load(sys.argv[3]), seed=0)
+print("shapes", out["trajectories"].shape, out["waypoints"].shape)
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c", prog, str(tmp_path / "m"),
+         str(tmp_path / "semantic.npy"), str(tmp_path / "observed.npy")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "shapes" in r.stdout
