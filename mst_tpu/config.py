@@ -59,6 +59,8 @@ def get_parser(is_train: bool) -> argparse.ArgumentParser:
     # TPU-specific additions
     parser.add_argument("--mesh_shape", default=None, type=int, nargs="+",
                         help="device mesh shape: one value for a 1D 'data' mesh (--mesh_shape 8), two for a hybrid multi-slice (replica, data) mesh over DCN x ICI (--mesh_shape 2 4)")
+    parser.add_argument("--mesh_axes", default=None, type=str, nargs="+",
+                        help="mesh axis names for --mesh_shape; 'data space' spatially partitions the scene maps' H dimension over the second axis (conv halo exchanges via GSPMD) for scenes too large for one chip's HBM, e.g. --mesh_shape 2 4 --mesh_axes data space")
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"])
     if is_train:
@@ -99,7 +101,8 @@ _DEFAULTS = dict(
     network="original", swap_semantic=False, window_size=9, smooth_val=False,
     e_unfreeze=10000, n_round=1, position=[], train_net="train",
     n_fusion=None, use_features_only=False, compute_dtype="float32",
-    mesh_shape=None, segmentation_model_fp=None, eval_k_chunk=0,
+    mesh_shape=None, mesh_axes=None, segmentation_model_fp=None,
+    eval_k_chunk=0,
     cross_scene_batching=False, max_scenes_per_batch=8,
 )
 

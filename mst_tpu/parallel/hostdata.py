@@ -25,7 +25,7 @@ import numpy as np
 import jax
 
 from mst_tpu.parallel.mesh import (REPLICATED_KEYS, data_sharding,
-                                   replicated)
+                                   replicated, scene_sharding)
 
 
 def local_slice(n_global: int, process_index=None, process_count=None):
@@ -34,8 +34,8 @@ def local_slice(n_global: int, process_index=None, process_count=None):
     Contiguous block partition: NamedSharding(P('data')) lays shards out in
     device order, and jax.Array assembles per-process blocks in
     process-index order, so host h owns block h. n_global must divide by
-    process_count (trainer.prepare_data rounds batch_size up to mesh.size;
-    mesh.pad_batch_to_multiple covers ad-hoc batches).
+    process_count (trainer.prepare_data rounds batch_size up to the mesh's
+    batch_shard_count; mesh.pad_batch_to_multiple covers ad-hoc batches).
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
@@ -70,11 +70,16 @@ def shard_batch_global(mesh, local_batch: dict, global_batch_size=None):
         return local_batch
     ds = data_sharding(mesh)
     rep = replicated(mesh)
+    scene = scene_sharding(mesh)
     out = {}
     for k, v in local_batch.items():
         v = np.asarray(v)
         if k in REPLICATED_KEYS:
-            out[k] = jax.make_array_from_process_local_data(rep, v)
+            # scene maps: replicated, or H-sharded over 'space' on a
+            # spatial mesh (mesh.shard_batch's scene_sharding contract);
+            # the 3x3 homography always replicates
+            sh = rep if k == "homography" else scene
+            out[k] = jax.make_array_from_process_local_data(sh, v)
             continue
         global_shape = None
         if global_batch_size is not None:

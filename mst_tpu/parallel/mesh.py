@@ -84,12 +84,41 @@ def make_hybrid_mesh(n_slices=None, per_slice=None,
     return Mesh(dev_array, axis_names)
 
 
-def mesh_from_shape(mesh_shape):
+def make_spatial_mesh(data, space, devices=None):
+    """2D ('data', 'space') mesh: the batch axis shards over 'data' and the
+    scene maps' H dimension shards over 'space'.
+
+    Spatial partitioning is this conv model's form of model parallelism
+    (it has no attention/sequence axis, SURVEY §2.3): XLA GSPMD inserts
+    the conv halo exchanges (collective-permutes) and reduction
+    all-reduces automatically, so one scene's activation footprint splits
+    `space` ways — scenes too large for one chip's HBM (e.g. resize 1.0,
+    ~4200^2 maps) become tractable. 'space' should ride ICI: on a
+    multi-slice pod put 'data' over DCN instead (halo exchange happens
+    every conv; the batch all-reduce once per step)."""
+    return make_mesh((data, space), ("data", "space"), devices)
+
+
+def mesh_from_shape(mesh_shape, axis_names=None):
     """CLI --mesh_shape to a Mesh: one value -> 1D 'data' mesh; two values
-    -> hybrid (replica, data) multi-slice mesh; None -> no mesh."""
+    -> hybrid (replica, data) multi-slice mesh, or a ('data', 'space')
+    spatially-partitioned mesh when --mesh_axes says so; None -> no mesh."""
     if mesh_shape is None:
         return None
     shape = tuple(int(s) for s in mesh_shape)
+    if axis_names is not None:
+        names = tuple(axis_names)
+        if len(names) != len(shape):
+            raise ValueError(
+                f"--mesh_axes {names} must match --mesh_shape {shape}")
+        if names == ("data", "space"):
+            return make_spatial_mesh(*shape)
+        if names in (("data",), ("replica", "data")):
+            axis_names = None  # the defaults below
+        else:
+            raise ValueError(
+                f"unsupported --mesh_axes {names}: expected 'data', "
+                "'replica data', or 'data space'")
     if len(shape) == 1:
         return make_mesh(shape)
     if len(shape) == 2:
@@ -97,28 +126,52 @@ def mesh_from_shape(mesh_shape):
     raise ValueError(f"--mesh_shape takes 1 or 2 values, got {shape}")
 
 
+def batch_axes(mesh):
+    """Mesh axes the batch dimension shards over (every axis except the
+    spatial one)."""
+    return tuple(a for a in mesh.axis_names if a != "space")
+
+
+def batch_shard_count(mesh):
+    """How many ways the batch axis splits (mesh.size without 'space')."""
+    return math.prod(mesh.shape[a] for a in batch_axes(mesh))
+
+
 def data_sharding(mesh):
-    """Shard axis 0 over every mesh axis (1D 'data' mesh: P('data'); hybrid
-    ('replica', 'data') mesh: both, so the global batch splits
-    n_slices * per_slice ways)."""
-    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    """Shard axis 0 over every non-spatial mesh axis (1D 'data' mesh:
+    P('data'); hybrid ('replica', 'data') mesh: both, so the global batch
+    splits n_slices * per_slice ways; ('data', 'space') mesh: 'data'
+    only — 'space' shards the scene maps' H instead)."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def scene_sharding(mesh):
+    """Sharding for scene-level (N, H, W, C) maps: H over 'space' when the
+    mesh has a spatial axis, replicated otherwise."""
+    if "space" in mesh.axis_names:
+        return NamedSharding(mesh, P(None, "space"))
+    return replicated(mesh)
+
+
 def shard_batch(mesh, batch: dict):
     """Place a host batch on the mesh: per-trajectory arrays shard over
-    'data' on axis 0, scene-level arrays replicate."""
+    'data' on axis 0; scene-level maps replicate (or shard H over 'space'
+    on a spatial mesh; the 3x3 homography always replicates)."""
     if mesh is None:
         return batch
     ds = data_sharding(mesh)
     rep = replicated(mesh)
+    scene = scene_sharding(mesh)
     out = {}
     for k, v in batch.items():
-        if k in REPLICATED_KEYS:
+        if k == "homography":
             out[k] = jax.device_put(v, rep)
+        elif k in REPLICATED_KEYS:
+            out[k] = jax.device_put(v, scene)
         else:
             out[k] = jax.device_put(v, ds)
     return out

@@ -136,10 +136,11 @@ class Experiment:
         total_len = p["obs_len"] + p["pred_len"]
         batch_size = int(p["batch_size"])
         if self.mesh is not None:
-            # the batch axis shards over EVERY mesh axis (data_sharding):
-            # round up to mesh.size, not just the 'data' axis, so hybrid
-            # (replica, data) meshes divide too
-            n_shards = self.mesh.size
+            # the batch axis shards over every non-spatial mesh axis
+            # (data_sharding): round up to that count so hybrid
+            # (replica, data) meshes divide too; a ('data', 'space')
+            # mesh shards H instead, so only 'data' rounds the batch
+            n_shards = mesh_lib.batch_shard_count(self.mesh)
             batch_size = -(-batch_size // n_shards) * n_shards
         if (mode == "train" and p.get("cross_scene_batching", False)
                 and dataset_name != "eth"):

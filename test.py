@@ -25,7 +25,7 @@ def main(args):
         args.ckpts, args.ckpts_name, args.pretrained_ckpt,
         [args.tuned_ckpt] if args.tuned_ckpt else [])
     print(ckpts, ckpts_name)
-    mesh = mesh_from_shape(args.mesh_shape)
+    mesh = mesh_from_shape(args.mesh_shape, args.mesh_axes)
 
     # reference-faithful selection (reference test.py:31-40): with multiple
     # checkpoints only the LAST non-OODG one is tested (the OODG baseline

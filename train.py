@@ -28,7 +28,7 @@ def main(args):
         args, df_train.metaId.unique().shape[0])
     print(f"Experiment {experiment_name} has started")
 
-    mesh = mesh_from_shape(args.mesh_shape)
+    mesh = mesh_from_shape(args.mesh_shape, args.mesh_axes)
     model = Experiment(params, mesh=mesh)
     if args.pretrained_ckpt is not None:
         model.load_params(args.pretrained_ckpt)
