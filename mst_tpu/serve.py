@@ -204,10 +204,14 @@ class LoadedModel:
         state_flat = _load_npz(str(d / files["state"]))
         self.state = _unflatten(state_flat) if state_flat else {}
 
-    def predict(self, semantic, observed, key=None, seed=0):
+    def predict(self, semantic, observed, key=None, seed=0, block=True):
         """semantic (1, H, W, C) + observed (B, obs_len, 2) model-space px
         -> {trajectories (K, B, pred_len, 2), waypoints (K, B, n_wp, 2)}
-        in raw-image pixels."""
+        in raw-image pixels.
+
+        block=False skips the device->host transfer and returns device
+        arrays — lets a caller pipeline many requests on the device queue
+        and read results when needed."""
         import jax
 
         if key is None:
@@ -219,6 +223,8 @@ class LoadedModel:
         features, wps = fwd_out[0], fwd_out[1]
         trajs = self._decode.call(self.params, features, wps)
         rf = self.manifest["resize_factor"]
+        if not block:
+            return {"trajectories": trajs / rf, "waypoints": wps / rf}
         return {"trajectories": np.asarray(trajs) / rf,
                 "waypoints": np.asarray(wps) / rf}
 
@@ -258,6 +264,11 @@ def _main():
     ck = sub.add_parser("check")
     ck.add_argument("--model_dir", required=True)
     ck.add_argument("--seed", type=int, default=0)
+    ck.add_argument("--bench", type=int, default=0, metavar="N",
+                    help="after the smoke predict, measure serving latency "
+                         "over N iterations (per-request key varies so "
+                         "request-dedup caches can't flatter the numbers) "
+                         "and print p50/p95/mean ms + trajectories/sec")
 
     args = parser.parse_args()
     if args.command == "export":
@@ -302,6 +313,41 @@ def _main():
           f"waypoints {out['waypoints'].shape} "
           f"(first call {dt:.2f}s incl. compile, second {dt2:.3f}s)")
     assert np.isfinite(out["trajectories"]).all()
+
+    if args.bench:
+        # closed-loop latency: one request at a time, host read per
+        # request. NOTE: on a remote/tunneled runtime (e.g. the axon dev
+        # tunnel) this includes client<->device round trips per program
+        # that a production co-located server never pays — trust it on
+        # local devices, prefer the pipelined number otherwise.
+        lat = []
+        for i in range(args.bench):
+            t0 = time.perf_counter()
+            out = model.predict(semantic, observed, seed=args.seed + 2 + i)
+            out["trajectories"][0, 0, 0, 0]  # host read = request complete
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.sort(np.asarray(lat)) * 1e3
+        # open-loop throughput: dispatch every request back-to-back and
+        # read only the last — the device queue pipelines, hiding
+        # dispatch/tunnel overheads (how a batching server drives a chip)
+        t0 = time.perf_counter()
+        outs = [model.predict(semantic, observed,
+                              seed=args.seed + 2 + args.bench + i,
+                              block=False)
+                for i in range(args.bench)]
+        np.asarray(outs[-1]["trajectories"])[0, 0, 0, 0]
+        pipelined = args.bench * b / (time.perf_counter() - t0)
+        stats = {
+            "metric": "serving_latency_ms",
+            "n": args.bench,
+            "batch": b,
+            "p50": round(float(np.percentile(lat_ms, 50)), 2),
+            "p95": round(float(np.percentile(lat_ms, 95)), 2),
+            "mean": round(float(lat_ms.mean()), 2),
+            "traj_per_sec": round(b / float(np.asarray(lat).mean()), 2),
+            "pipelined_traj_per_sec": round(float(pipelined), 2),
+        }
+        print(json.dumps(stats))
 
 
 if __name__ == "__main__":

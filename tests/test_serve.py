@@ -155,10 +155,11 @@ def test_serve_cli(model, tmp_path):
 
     r = subprocess.run(
         [sys.executable, "-m", "mst_tpu.serve", "check",
-         "--model_dir", str(out_dir)],
+         "--model_dir", str(out_dir), "--bench", "3"],
         capture_output=True, text=True, env=env, timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "predict ok" in r.stdout
+    assert '"serving_latency_ms"' in r.stdout
     with open(out_dir / "manifest.json") as f:
         m = json.load(f)
     assert m["format"] == "mst_tpu.serve/1"
