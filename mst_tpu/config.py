@@ -63,6 +63,8 @@ def get_parser(is_train: bool) -> argparse.ArgumentParser:
                         help="mesh axis names for --mesh_shape; 'data space' spatially partitions the scene maps' H dimension over the second axis (conv halo exchanges via GSPMD) for scenes too large for one chip's HBM, e.g. --mesh_shape 2 4 --mesh_axes data space")
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize the train forward (jax.checkpoint): recompute encoder/decoder activations in the backward instead of holding them in HBM — for big-scene/big-batch training, pairs with --mesh_axes data space")
     if is_train:
         # train args (parser.py:53-69)
         parser.add_argument("--fine_tune", action="store_true")
@@ -101,8 +103,8 @@ _DEFAULTS = dict(
     network="original", swap_semantic=False, window_size=9, smooth_val=False,
     e_unfreeze=10000, n_round=1, position=[], train_net="train",
     n_fusion=None, use_features_only=False, compute_dtype="float32",
-    mesh_shape=None, mesh_axes=None, segmentation_model_fp=None,
-    eval_k_chunk=0,
+    mesh_shape=None, mesh_axes=None, remat=False,
+    segmentation_model_fp=None, eval_k_chunk=0,
     cross_scene_batching=False, max_scenes_per_batch=8,
 )
 

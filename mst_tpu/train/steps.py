@@ -74,6 +74,12 @@ class StepConfig(NamedTuple):
     packed_decode: bool = True  # space-to-depth the finest decoder level in
     # the K-sample eval decode (ops/packed.py): ~27% faster on v5e, same
     # math to fp tolerance
+    remat: bool = False  # rematerialize the train forward (jax.checkpoint
+    # around the encoder and the goal/traj decoders): the backward pass
+    # recomputes their internal conv activations instead of holding all of
+    # them in HBM across the step — trades ~1/3 more conv FLOPs for a
+    # large activation-memory cut, the standard lever for big-scene /
+    # big-batch training (pairs with the ('data','space') spatial mesh)
 
 
 def _cast_floats(tree, dtype):
@@ -207,30 +213,43 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
             wp_pyramid = avg_pool_pyramid(
                 gt_waypoint_map.astype(scfg.compute_dtype), L_FEATS)
 
-        features, new_state = ynet_lib.pred_features(
-            params, state, mcfg, semantic, observed_map, train=True,
-            packed_stage0=pack0, packed_stage1=pack1)
+        def _encode(params, state, semantic, observed_map):
+            return ynet_lib.pred_features(
+                params, state, mcfg, semantic, observed_map, train=True,
+                packed_stage0=pack0, packed_stage1=pack1)
+
+        def _decode_maps(params, features, wp_pyramid):
+            pg = ynet_lib.pred_goal(
+                params, features, scfg.packed_decode, pack0,
+                return_packed=packed, features1_packed=pack1)
+            # trajectory decode in the split (shared) form — identical
+            # function to conv-over-concat (tested), and it accepts packed
+            # features[0]
+            decode = ynet_lib.make_shared_pred_traj(
+                params, features, len(scfg.waypoints),
+                packed_finest=scfg.packed_decode, features0_packed=pack0,
+                return_packed=packed, wp_finest_packed=packed,
+                features1_packed=pack1)
+            return pg, decode(wp_pyramid)
+
+        if scfg.remat:
+            # backward recomputes the encoder/decoder internals; only the
+            # stage boundaries (features, the two logit maps) stay resident
+            _encode = jax.checkpoint(_encode)
+            _decode_maps = jax.checkpoint(_decode_maps)
+
+        features, new_state = _encode(params, state, semantic, observed_map)
         if seg_updates:
             new_state = {**(new_state or {}),
                          "segmentation_bn": seg_updates}
         # logits back to f32: BCE stays full precision (the metric
         # softargmax reads the compute-dtype map instead — half the bytes,
         # and exp/sums run in f32 inside softargmax2d_packed anyway)
-        pred_goal_map_c = ynet_lib.pred_goal(
-            params, features, scfg.packed_decode, pack0,
-            return_packed=packed, features1_packed=pack1)
+        pred_goal_map_c, pred_traj_map_c = _decode_maps(
+            params, features, wp_pyramid)
         pred_goal_map = pred_goal_map_c.astype(jnp.float32)
         goal_loss = bce_with_logits(pred_goal_map, gt_future_map,
                                     mask) * scfg.loss_scale
-
-        # trajectory decode in the split (shared) form — identical function
-        # to conv-over-concat (tested), and it accepts packed features[0]
-        decode = ynet_lib.make_shared_pred_traj(
-            params, features, len(scfg.waypoints),
-            packed_finest=scfg.packed_decode, features0_packed=pack0,
-            return_packed=packed, wp_finest_packed=packed,
-            features1_packed=pack1)
-        pred_traj_map_c = decode(wp_pyramid)
         pred_traj_map = pred_traj_map_c.astype(jnp.float32)
         traj_loss = bce_with_logits(pred_traj_map, gt_future_map,
                                     mask) * scfg.loss_scale

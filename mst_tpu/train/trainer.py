@@ -256,6 +256,7 @@ class Experiment:
             world_coords=(p["dataset_name"].lower() == "eth"),
             compute_dtype=_parse_compute_dtype(
                 p.get("compute_dtype", "float32")),
+            remat=bool(p.get("remat", False)),
         )
 
     def _device_batch(self, batch, semantic):

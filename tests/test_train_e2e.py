@@ -189,3 +189,46 @@ def test_return_samples_payload(tmp_path, dataset):
     assert gt.shape[1:] == (TOTAL_LEN, 2)
     pred = trajs["prediction"][0]
     assert pred.shape[1:] == (params["pred_len"], 2)
+
+
+def test_remat_train_step_matches(tmp_path):
+    """--remat (jax.checkpoint around encoder + decoders) recomputes the
+    same ops in the backward: losses and updated params match the
+    non-remat step to fp-exactness."""
+    import optax
+
+    from mst_tpu.data.synthetic import make_synthetic_dataset
+    from mst_tpu.train import freeze as freeze_lib
+    from mst_tpu.train import steps as steps_lib
+    from mst_tpu.train.trainer import Experiment
+
+    import jax
+
+    df, images = make_synthetic_dataset(seed=0, n_scenes=1, n_traj=8,
+                                        total_len=TOTAL_LEN)
+    results = {}
+    for name, remat in [("plain", False), ("remat", True)]:
+        params_dict = make_params(tmp_path, remat=remat, batch_size=8)
+        exp = Experiment(params_dict, images=images)
+        batches = exp.prepare_data(df, None, "val")
+        batch = batches[0]
+        semantic = exp._semantic_for(batch, {})
+        db = exp._device_batch(batch, semantic)
+        scfg = exp._step_config()
+        assert scfg.remat == remat
+        mask = exp._trainable_mask()
+        trainable, frozen = freeze_lib.split_params(exp.model_params, mask)
+        optimizer = optax.adam(1e-3)
+        opt_state = optimizer.init(trainable)
+        step = steps_lib.make_train_step(exp.mcfg, scfg, optimizer)
+        for _ in range(2):
+            trainable, state, opt_state, metrics = step(
+                trainable, frozen, exp.model_state, opt_state, db)
+        results[name] = (jax.tree.map(np.asarray, trainable),
+                         float(metrics["loss"]))
+
+    np.testing.assert_allclose(results["plain"][1], results["remat"][1],
+                               rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        results["plain"][0], results["remat"][0])
