@@ -158,21 +158,22 @@ def _program_flops(lowerable, *args):
     return None
 
 
-def measure_jax(n_iter=20, compute_dtype="float32", scenario="sdd"):
+def build_scenario(scenario="sdd", compute_dtype="float32",
+                   hw_scale=1, **scfg_overrides):
+    """Shared scenario builder: the benched LoRA model + StepConfig +
+    device batch for one of SCENARIOS. Also used by benchmarks/
+    remat_memory.py and benchmarks/layout_boundary.py so the three
+    harnesses cannot drift. hw_scale multiplies H and W (bigger-scene
+    studies). Returns (mcfg, params, state, scfg, batch, sc)."""
     import jax
     import jax.numpy as jnp
-    import optax
-
-    from mst_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from mst_tpu import config as config_lib
     from mst_tpu.models import ynet as ynet_lib
-    from mst_tpu.train import freeze as freeze_lib
     from mst_tpu.train import steps as steps_lib
 
-    sc = SCENARIOS[scenario]
+    sc = dict(SCENARIOS[scenario])
+    sc["H"], sc["W"] = hw_scale * sc["H"], hw_scale * sc["W"]
     params_dict = config_lib.get_params(
         config_filename=sc["config"],
         overrides=dict(train_net="mosa_2",
@@ -192,12 +193,29 @@ def measure_jax(n_iter=20, compute_dtype="float32", scenario="sdd"):
         # all K at once: the shared-feature decoder removes the K*B feature
         # broadcast, so the full 160-sample decode fits HBM and runs ~31%
         # faster than 4-sample chunks
-        eval_k_chunk=0)
+        eval_k_chunk=0)._replace(**scfg_overrides)
 
     semantic, trajs = _inputs(sc=sc)
     batch = {"semantic": semantic, "traj": trajs,
              "mask": np.ones(sc["B"], np.float32)}
-    batch = jax.tree.map(jax.numpy.asarray, batch)
+    batch = jax.tree.map(jnp.asarray, batch)
+    return mcfg, params, state, scfg, batch, sc
+
+
+def measure_jax(n_iter=20, compute_dtype="float32", scenario="sdd"):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mst_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from mst_tpu.train import freeze as freeze_lib
+    from mst_tpu.train import steps as steps_lib
+
+    mcfg, params, state, scfg, batch, sc = build_scenario(
+        scenario, compute_dtype)
 
     # MFU accounting uses the UNPACKED programs' FLOPs: space-to-depth
     # packing multiplies 2.25x structural zeros for lane utilization, and

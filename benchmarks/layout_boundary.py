@@ -17,10 +17,13 @@ Prints one JSON line with baseline vs layout-matched eval rates.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(n_iter=20, compute_dtype="bfloat16"):
@@ -29,11 +32,8 @@ def measure(n_iter=20, compute_dtype="bfloat16"):
     from jax.experimental.layout import Format
     from jax._src.layout import AutoLayout
 
-    sys.path.insert(0, ".")
     import bench
 
-    from mst_tpu import config as config_lib
-    from mst_tpu.models import ynet as ynet_lib
     from mst_tpu.train import steps as steps_lib
 
     # NO persistent compilation cache here: this jax version's cache key
@@ -44,28 +44,8 @@ def measure(n_iter=20, compute_dtype="bfloat16"):
     # layout matching in the production eval path, fine for measurement.
     jax.config.update("jax_compilation_cache_dir", None)
 
-    sc = bench.SCENARIOS["sdd"]
-    params_dict = config_lib.get_params(
-        config_filename=sc["config"],
-        overrides=dict(train_net="mosa_2",
-                       position=["0", "1", "2", "3", "4"],
-                       segmentation_model_fp=None, batch_size=sc["B"]))
-    mcfg = config_lib.ynet_config(params_dict)
-    params, state = ynet_lib.init_ynet(jax.random.PRNGKey(0), mcfg)
-    scfg = steps_lib.StepConfig(
-        obs_len=sc["obs_len"], pred_len=sc["pred_len"],
-        waypoints=sc["waypoints"],
-        template_size=int(4200 * sc["resize"]), kernlen=31, nsig=4.0,
-        loss_scale=1000.0, resize_factor=sc["resize"],
-        temperature=sc["temperature"], n_goal=bench.N_GOAL, n_traj=1,
-        compute_dtype=(jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16")
-                       else jnp.float32),
-        eval_k_chunk=0)
-
-    semantic, trajs = bench._inputs(sc=sc)
-    batch = {"semantic": semantic, "traj": trajs,
-             "mask": np.ones(sc["B"], np.float32)}
-    batch = jax.tree.map(jnp.asarray, batch)
+    mcfg, params, state, scfg, batch, sc = bench.build_scenario(
+        "sdd", compute_dtype)
     key = jax.random.PRNGKey(0)
     hom = jnp.eye(3, dtype=jnp.float32)
 

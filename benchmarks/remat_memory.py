@@ -21,42 +21,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(scale, remat, compute_dtype="bfloat16"):
-    import jax
-    import jax.numpy as jnp
     import optax
 
-    sys.path.insert(0, ".")
     import bench
 
-    from mst_tpu import config as config_lib
-    from mst_tpu.models import ynet as ynet_lib
     from mst_tpu.train import freeze as freeze_lib
     from mst_tpu.train import steps as steps_lib
 
-    sc = dict(bench.SCENARIOS["sdd"])
-    if scale == "big":
-        sc["H"], sc["W"] = 2 * sc["H"], 2 * sc["W"]  # resize 0.5-equivalent
-    params_dict = config_lib.get_params(
-        config_filename=sc["config"],
-        overrides=dict(train_net="mosa_2",
-                       position=["0", "1", "2", "3", "4"],
-                       segmentation_model_fp=None, batch_size=sc["B"]))
-    mcfg = config_lib.ynet_config(params_dict)
-    params, state = ynet_lib.init_ynet(jax.random.PRNGKey(0), mcfg)
-    scfg = steps_lib.StepConfig(
-        obs_len=sc["obs_len"], pred_len=sc["pred_len"],
-        waypoints=sc["waypoints"],
-        template_size=int(4200 * sc["resize"]), kernlen=31, nsig=4.0,
-        loss_scale=1000.0, resize_factor=sc["resize"],
-        temperature=sc["temperature"], n_goal=bench.N_GOAL, n_traj=1,
-        compute_dtype=(jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16")
-                       else jnp.float32),
-        eval_k_chunk=0, remat=remat)
-
-    semantic, trajs = bench._inputs(sc=sc)
-    batch = jax.tree.map(jnp.asarray,
-                         {"semantic": semantic, "traj": trajs,
-                          "mask": np.ones(sc["B"], np.float32)})
+    mcfg, params, state, scfg, batch, sc = bench.build_scenario(
+        "sdd", compute_dtype,
+        hw_scale=2 if scale == "big" else 1,  # big = resize 0.5-equivalent
+        remat=remat)
     mask = freeze_lib.trainable_mask(params, "mosa_2",
                                      ["0", "1", "2", "3", "4"])
     trainable, frozen = freeze_lib.split_params(params, mask)
@@ -76,7 +51,8 @@ def measure(scale, remat, n_iter):
     lowered = jax.jit(step.__wrapped__).lower(*args)
     compiled = lowered.compile()
     mem = compiled.memory_analysis()
-    temp_mb = getattr(mem, "temp_size_in_bytes", 0) / 2**20 if mem else None
+    temp = getattr(mem, "temp_size_in_bytes", None) if mem else None
+    temp_mb = temp / 2**20 if temp is not None else None
 
     out = step(*args)
     jax.block_until_ready(out[3]["loss"])

@@ -24,8 +24,9 @@ import numpy as np
 
 import jax
 
-from mst_tpu.parallel.mesh import (REPLICATED_KEYS, data_sharding,
-                                   replicated, scene_sharding)
+from mst_tpu.parallel.mesh import (REPLICATED_KEYS, check_spatial_scene,
+                                   data_sharding, replicated,
+                                   scene_sharding)
 
 
 def local_slice(n_global: int, process_index=None, process_count=None):
@@ -34,8 +35,9 @@ def local_slice(n_global: int, process_index=None, process_count=None):
     Contiguous block partition: NamedSharding(P('data')) lays shards out in
     device order, and jax.Array assembles per-process blocks in
     process-index order, so host h owns block h. n_global must divide by
-    process_count (trainer.prepare_data rounds batch_size up to the mesh's
-    batch_shard_count; mesh.pad_batch_to_multiple covers ad-hoc batches).
+    process_count (trainer.prepare_data rounds batch_size up to
+    lcm(batch_shard_count, process_count); mesh.pad_batch_to_multiple
+    covers ad-hoc batches).
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
@@ -79,6 +81,23 @@ def shard_batch_global(mesh, local_batch: dict, global_batch_size=None):
             # spatial mesh (mesh.shard_batch's scene_sharding contract);
             # the 3x3 homography always replicates
             sh = rep if k == "homography" else scene
+            if sh is scene and "space" in mesh.axis_names:
+                check_spatial_scene(mesh, k, v)
+                if jax.process_count() > 1:
+                    # each host passes the WHOLE scene map, but
+                    # make_array_from_process_local_data infers global
+                    # shape as if every process contributed only its own
+                    # block of a process-spanning sharded dim — assembly
+                    # would silently duplicate H-slabs. Needs a per-host
+                    # scene loader; refuse loudly until one exists.
+                    raise NotImplementedError(
+                        "multi-host spatial meshes are not supported by "
+                        "shard_batch_global: the 'space' axis would span "
+                        "processes and corrupt the scene-map assembly. "
+                        "Run the spatial axis within one host (e.g. "
+                        "'data' over hosts x 'space' over local chips is "
+                        "also unsupported until a per-host scene loader "
+                        "exists) or use a non-spatial mesh across hosts.")
             out[k] = jax.make_array_from_process_local_data(sh, v)
             continue
         global_shape = None

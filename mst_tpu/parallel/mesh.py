@@ -76,7 +76,8 @@ def make_hybrid_mesh(n_slices=None, per_slice=None,
             f"{len(slice_ids)} slices but the requested shape does not "
             f"align with them (chips/slice: "
             f"{ {s: len(v) for s, v in by_slice.items()} }); falling back "
-            f"to a row-major reshape whose 'data' axis may cross DCN",
+            f"to a row-major reshape whose '{axis_names[1]}' axis may "
+            f"cross DCN",
             stacklevel=2)
     n = n_slices * per_slice
     assert n <= len(devices), (n_slices, per_slice, len(devices))
@@ -93,10 +94,13 @@ def make_spatial_mesh(data, space, devices=None):
     the conv halo exchanges (collective-permutes) and reduction
     all-reduces automatically, so one scene's activation footprint splits
     `space` ways — scenes too large for one chip's HBM (e.g. resize 1.0,
-    ~4200^2 maps) become tractable. 'space' should ride ICI: on a
-    multi-slice pod put 'data' over DCN instead (halo exchange happens
-    every conv; the batch all-reduce once per step)."""
-    return make_mesh((data, space), ("data", "space"), devices)
+    ~4200^2 maps) become tractable. 'space' must ride ICI (halo exchange
+    happens every conv; the batch all-reduce only once per step), so on a
+    multi-slice pod this reuses the slice-aware hybrid layout: each 'data'
+    row takes its `space` chips from ONE slice, and a misaligned shape
+    falls back with make_hybrid_mesh's loud warning."""
+    return make_hybrid_mesh(data, space, axis_names=("data", "space"),
+                            devices=devices)
 
 
 def mesh_from_shape(mesh_shape, axis_names=None):
@@ -157,6 +161,22 @@ def scene_sharding(mesh):
     return replicated(mesh)
 
 
+def check_spatial_scene(mesh, key, value):
+    """Fail fast with a clear message when a scene map cannot shard over
+    the mesh's 'space' axis (instead of jax's generic divisibility error
+    deep inside the epoch loop). The /32 image padding guarantees
+    divisibility only for power-of-two space counts <= 32."""
+    if "space" not in mesh.axis_names:
+        return
+    s = mesh.shape["space"]
+    h = np.shape(value)[1]
+    if h % s != 0:
+        raise ValueError(
+            f"scene map '{key}' height {h} does not divide the mesh's "
+            f"'space' axis ({s}); pick a space count that divides the "
+            f"/32-padded scene heights (powers of two <= 32 always do)")
+
+
 def shard_batch(mesh, batch: dict):
     """Place a host batch on the mesh: per-trajectory arrays shard over
     'data' on axis 0; scene-level maps replicate (or shard H over 'space'
@@ -171,6 +191,7 @@ def shard_batch(mesh, batch: dict):
         if k == "homography":
             out[k] = jax.device_put(v, rep)
         elif k in REPLICATED_KEYS:
+            check_spatial_scene(mesh, k, v)
             out[k] = jax.device_put(v, scene)
         else:
             out[k] = jax.device_put(v, ds)

@@ -9,6 +9,7 @@ over a device mesh when one is provided.
 """
 
 import collections
+import math
 import os
 import re
 import time
@@ -139,8 +140,11 @@ class Experiment:
             # the batch axis shards over every non-spatial mesh axis
             # (data_sharding): round up to that count so hybrid
             # (replica, data) meshes divide too; a ('data', 'space')
-            # mesh shards H instead, so only 'data' rounds the batch
-            n_shards = mesh_lib.batch_shard_count(self.mesh)
+            # mesh shards H instead, so only 'data' rounds the batch.
+            # Multi-host additionally needs process_count to divide the
+            # global batch (hostdata.local_slice), hence the lcm.
+            n_shards = math.lcm(mesh_lib.batch_shard_count(self.mesh),
+                                jax.process_count())
             batch_size = -(-batch_size // n_shards) * n_shards
         if (mode == "train" and p.get("cross_scene_batching", False)
                 and dataset_name != "eth"):

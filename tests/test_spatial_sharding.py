@@ -179,3 +179,14 @@ def test_spatial_hostdata_matches_shard_batch():
     for k in batch:
         assert a[k].sharding == b[k].sharding, k
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_shard_batch_rejects_nondividing_height():
+    mesh = mesh_lib.make_spatial_mesh(2, 4)
+    batch = {
+        "semantic": np.zeros((1, 30, 48, 3), np.float32),  # 30 % 4 != 0
+        "traj": np.zeros((8, TOTAL_LEN, 2), np.float32),
+        "mask": np.ones(8, np.float32),
+    }
+    with pytest.raises(ValueError, match="space"):
+        mesh_lib.shard_batch(mesh, batch)
