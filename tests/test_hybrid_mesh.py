@@ -214,3 +214,25 @@ def test_single_slice_fallback_does_not_warn(captured_mesh, recwarn):
     mesh_lib.make_hybrid_mesh(n_slices=2, per_slice=4, devices=devs)
     assert captured_mesh["devices"].shape == (2, 4)
     assert not [w for w in recwarn if "DCN" in str(w.message)]
+
+
+def test_spatial_mesh_is_slice_aware(captured_mesh):
+    """make_spatial_mesh reuses the slice-aware layout: each 'data' row is
+    one slice, so the per-conv 'space' halo exchanges ride ICI and only
+    the once-per-step grad all-reduce crosses DCN."""
+    devs = _fake_pod(2, 4)
+    mesh_lib.make_spatial_mesh(2, 4, devices=devs)
+    arr = captured_mesh["devices"]
+    assert captured_mesh["axis_names"] == ("data", "space")
+    assert arr.shape == (2, 4)
+    for r in range(2):
+        assert {d.slice_index for d in arr[r]} == {r}
+
+
+def test_spatial_mesh_misaligned_warns_space_axis(captured_mesh):
+    # the fallback warning names the axis that may cross DCN — 'space'
+    # here, not the hybrid mesh's 'data'
+    devs = _fake_pod(2, 4)
+    with pytest.warns(UserWarning, match="'space' axis may cross DCN"):
+        mesh_lib.make_spatial_mesh(1, 8, devices=devs)
+    assert captured_mesh["devices"].shape == (1, 8)
