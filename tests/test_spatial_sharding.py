@@ -190,3 +190,26 @@ def test_shard_batch_rejects_nondividing_height():
     }
     with pytest.raises(ValueError, match="space"):
         mesh_lib.shard_batch(mesh, batch)
+
+
+def test_spatial_experiment_train_e2e(tmp_path):
+    """A full Experiment.train epoch + test() on a ('data','space') mesh
+    runs end-to-end (trainer batch rounding, shard_batch placement,
+    validation eval) and produces finite reference-protocol metrics."""
+    df, images = make_synthetic_dataset(seed=0, n_scenes=1, n_traj=12,
+                                        total_len=TOTAL_LEN)
+    ids = df.metaId.unique()
+    df_train = df[df.metaId.isin(ids[:8])]
+    df_val = df[df.metaId.isin(ids[8:10])]
+    df_test = df[df.metaId.isin(ids[10:])]
+    params = _params(tmp_path, n_epoch=1, batch_size=4)
+    mesh = mesh_lib.make_spatial_mesh(2, 4)
+    exp = Experiment(params, mesh=mesh, images=images)
+    val_ade, val_fde = exp.train(df_train, df_val, None, None,
+                                 "spatial_e2e")
+    assert np.isfinite(val_ade) and np.isfinite(val_fde)
+    ade, fde, list_metrics, _ = exp.test(df_test, None)
+    assert np.isfinite(ade) and np.isfinite(fde)
+    # one per-metaId metrics DataFrame per round (n_round=1)
+    assert len(list_metrics) == 1
+    assert len(list_metrics[0]) == df_test.metaId.nunique()
