@@ -57,8 +57,45 @@ def _unflatten(flat):
 
 
 def _load_npz(path):
-    with np.load(path) as z:
+    p = str(path)
+    if not p.endswith(".npz") and not os.path.exists(p):
+        p += ".npz"
+    with np.load(p) as z:
         return {k: z[k] for k in z.files}
+
+
+def _overlay(base, flat):
+    """Copy-on-write overlay of a flat {'a/b/c': array} delta onto a nested
+    params pytree: dicts along each delta path are copied, every other
+    subtree (the frozen base) is SHARED by reference. Strict: a delta key
+    must name an existing leaf of the same shape/dtype (the compiled
+    program is fixed-shape)."""
+    out = dict(base)
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = out
+        for part in parts[:-1]:
+            child = node.get(part)
+            if not isinstance(child, dict):
+                raise KeyError(f"delta key '{key}' does not match the "
+                               f"base params (no subtree '{part}')")
+            child = dict(child)
+            node[part] = child
+            node = child
+        leaf = parts[-1]
+        if leaf not in node:
+            raise KeyError(f"delta key '{key}' does not exist in the "
+                           "base params")
+        old = node[leaf]
+        if np.shape(old) != np.shape(val) or \
+                np.asarray(old).dtype != np.asarray(val).dtype:
+            raise ValueError(
+                f"delta key '{key}' has shape/dtype "
+                f"{np.shape(val)}/{np.asarray(val).dtype}, base has "
+                f"{np.shape(old)}/{np.asarray(old).dtype} — the exported "
+                "program is fixed-shape")
+        node[leaf] = val
+    return out
 
 
 def _canonical(tree):
@@ -203,25 +240,46 @@ class LoadedModel:
         self.params = _unflatten(_load_npz(str(d / files["params"])))
         state_flat = _load_npz(str(d / files["state"]))
         self.state = _unflatten(state_flat) if state_flat else {}
+        self._styles = {}
 
-    def predict(self, semantic, observed, key=None, seed=0, block=True):
+    def add_style(self, name, delta_path):
+        """Register a motion style: a delta checkpoint (the trainable-only
+        npz the trainer writes for LoRA/adapter fine-tunes, reference
+        trainer.py:599-604) overlaid on the base params.
+
+        Multi-style serving, disaggregated: the exported programs take
+        params as an INPUT, so one compiled program serves every style —
+        no re-export, no recompilation. Untouched subtrees are shared by
+        reference with the base pytree, so N resident styles cost the
+        base once plus N deltas (a LoRA delta is a few % of the model)."""
+        self._styles[name] = _overlay(self.params, _load_npz(delta_path))
+        return self
+
+    @property
+    def styles(self):
+        return sorted(self._styles)
+
+    def predict(self, semantic, observed, key=None, seed=0, block=True,
+                style=None):
         """semantic (1, H, W, C) + observed (B, obs_len, 2) model-space px
         -> {trajectories (K, B, pred_len, 2), waypoints (K, B, n_wp, 2)}
         in raw-image pixels.
 
         block=False skips the device->host transfer and returns device
         arrays — lets a caller pipeline many requests on the device queue
-        and read results when needed."""
+        and read results when needed. style selects a registered adapter
+        (add_style); None serves the base params."""
         import jax
 
         if key is None:
             key = jax.random.PRNGKey(seed)
+        params = self.params if style is None else self._styles[style]
         semantic = np.asarray(semantic, np.float32)
         observed = np.asarray(observed, np.float32)
-        fwd_out = self._forward.call(self.params, self.state, semantic,
+        fwd_out = self._forward.call(params, self.state, semantic,
                                      observed, key)
         features, wps = fwd_out[0], fwd_out[1]
-        trajs = self._decode.call(self.params, features, wps)
+        trajs = self._decode.call(params, features, wps)
         rf = self.manifest["resize_factor"]
         if not block:
             return {"trajectories": trajs / rf, "waypoints": wps / rf}
@@ -264,6 +322,10 @@ def _main():
     ck = sub.add_parser("check")
     ck.add_argument("--model_dir", required=True)
     ck.add_argument("--seed", type=int, default=0)
+    ck.add_argument("--styles", nargs="+", default=[], metavar="NAME=DELTA",
+                    help="motion-style adapters to register and smoke-"
+                         "predict: delta checkpoints overlaid on the base "
+                         "params, all served by the one compiled program")
     ck.add_argument("--bench", type=int, default=0, metavar="N",
                     help="after the smoke predict, measure serving latency "
                          "over N iterations (per-request key varies so "
@@ -313,6 +375,18 @@ def _main():
           f"waypoints {out['waypoints'].shape} "
           f"(first call {dt:.2f}s incl. compile, second {dt2:.3f}s)")
     assert np.isfinite(out["trajectories"]).all()
+
+    for spec in args.styles:
+        name, _, delta = spec.partition("=")
+        if not delta:
+            raise SystemExit(f"--styles wants NAME=DELTA, got '{spec}'")
+        model.add_style(name, delta)
+        t0 = time.perf_counter()
+        sout = model.predict(semantic, observed, seed=args.seed,
+                             style=name)
+        assert np.isfinite(sout["trajectories"]).all()
+        print(f"style '{name}' ok ({time.perf_counter() - t0:.3f}s, "
+              "same compiled program)")
 
     if args.bench:
         # closed-loop latency: one request at a time, host read per

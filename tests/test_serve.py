@@ -205,3 +205,69 @@ print("shapes", out["trajectories"].shape, out["waypoints"].shape)
         capture_output=True, text=True, env=env, timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "shapes" in r.stdout
+
+
+def test_multi_style_serving(tmp_path):
+    """One exported program serves many motion styles: LoRA deltas overlay
+    the base params (reference delta ckpts, trainer.py:599-604); untouched
+    subtrees are shared by reference."""
+    params = make_params(tmp_path, train_net="mosa_2",
+                         position=["0", "1", "2", "3", "4"])
+    base = Experiment(params)
+    serve.export_model(base, tmp_path / "m", H, W, B, platforms=("cpu",))
+
+    # a "tuned" style: perturbed LoRA factors, saved as a delta-only npz
+    tuned = Experiment(make_params(tmp_path, train_net="mosa_2",
+                                   position=["0", "1", "2", "3", "4"],
+                                   seed=7))
+    tuned.model_params = jax.tree.map(lambda x: x, base.model_params)
+    import jax.numpy as jnp
+    from mst_tpu.train import freeze as freeze_lib
+    mask = tuned._trainable_mask()
+    tuned.model_params = jax.tree.map(
+        lambda x, m: x + 0.05 if m else x, tuned.model_params, mask)
+    delta_path = tmp_path / "style_biker.npz"
+    tuned.save_params(str(delta_path))
+    import numpy as _np
+    delta_keys = _np.load(delta_path)
+    assert all("lora" in k for k in delta_keys.files)
+
+    loaded = serve.load_model(tmp_path / "m")
+    loaded.add_style("biker", delta_path)
+    assert loaded.styles == ["biker"]
+
+    semantic, observed = _inputs(5)
+    key = jax.random.PRNGKey(3)
+    out_base = loaded.predict(semantic, observed, key=key)
+    out_style = loaded.predict(semantic, observed, key=key, style="biker")
+    # the style changes the function...
+    assert not np.allclose(out_base["trajectories"],
+                           out_style["trajectories"])
+    # ...and matches the in-process predict with the tuned params
+    scfg = tuned._step_config()
+    predict = steps_lib.make_predict_step(tuned.mcfg, scfg)
+    want = predict(tuned.model_params, tuned.model_state, semantic,
+                   observed, key)
+    np.testing.assert_allclose(out_style["trajectories"],
+                               np.asarray(want["trajectories"]),
+                               rtol=1e-6, atol=1e-5)
+
+    # frozen subtrees are SHARED by reference, only delta paths copied
+    style_params = loaded._styles["biker"]
+    assert style_params["encoder"] is not loaded.params["encoder"]
+    flat_base = {k: v for k, v in _np.load(
+        tmp_path / "m" / "params.npz").items()}
+    n_shared = 0
+    def walk(a, b):
+        nonlocal n_shared
+        for k in a:
+            if isinstance(a[k], dict):
+                walk(a[k], b[k])
+            elif a[k] is b[k]:
+                n_shared += 1
+    walk(loaded.params, style_params)
+    assert n_shared == len(flat_base) - len(delta_keys.files)
+
+    # strict overlay: unknown keys and shape mismatches are rejected
+    with pytest.raises(KeyError):
+        serve._overlay(loaded.params, {"nope/missing": np.zeros(3)})
