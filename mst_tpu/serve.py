@@ -87,8 +87,9 @@ def _overlay(base, flat):
             raise KeyError(f"delta key '{key}' does not exist in the "
                            "base params")
         old = node[leaf]
+        old_dtype = getattr(old, "dtype", None) or np.asarray(old).dtype
         if np.shape(old) != np.shape(val) or \
-                np.asarray(old).dtype != np.asarray(val).dtype:
+                old_dtype != np.asarray(val).dtype:
             raise ValueError(
                 f"delta key '{key}' has shape/dtype "
                 f"{np.shape(val)}/{np.asarray(val).dtype}, base has "
@@ -237,9 +238,14 @@ class LoadedModel:
             (d / files["forward"]).read_bytes())
         self._decode = jax.export.deserialize(
             (d / files["decode"]).read_bytes())
-        self.params = _unflatten(_load_npz(str(d / files["params"])))
+        # params/state live on device from load: requests pass device
+        # arrays to the exported programs instead of re-uploading the full
+        # param set from host numpy on every predict
+        self.params = jax.device_put(
+            _unflatten(_load_npz(str(d / files["params"]))))
         state_flat = _load_npz(str(d / files["state"]))
-        self.state = _unflatten(state_flat) if state_flat else {}
+        self.state = jax.device_put(_unflatten(state_flat)) \
+            if state_flat else {}
         self._styles = {}
 
     def add_style(self, name, delta_path):
@@ -250,9 +256,14 @@ class LoadedModel:
         Multi-style serving, disaggregated: the exported programs take
         params as an INPUT, so one compiled program serves every style —
         no re-export, no recompilation. Untouched subtrees are shared by
-        reference with the base pytree, so N resident styles cost the
-        base once plus N deltas (a LoRA delta is a few % of the model)."""
-        self._styles[name] = _overlay(self.params, _load_npz(delta_path))
+        reference with the base pytree (device_put on an already-resident
+        array is a no-op, so sharing survives device placement), and N
+        resident styles cost the base once plus N deltas (a LoRA delta is
+        a few % of the model)."""
+        import jax
+
+        self._styles[name] = jax.device_put(
+            _overlay(self.params, _load_npz(delta_path)))
         return self
 
     @property
