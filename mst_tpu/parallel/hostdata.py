@@ -81,7 +81,7 @@ def shard_batch_global(mesh, local_batch: dict, global_batch_size=None):
             # spatial mesh (mesh.shard_batch's scene_sharding contract);
             # the 3x3 homography always replicates
             sh = rep if k == "homography" else scene
-            if sh is scene and "space" in mesh.axis_names:
+            if k != "homography" and "space" in mesh.axis_names:
                 check_spatial_scene(mesh, k, v)
                 if jax.process_count() > 1:
                     # each host passes the WHOLE scene map, but

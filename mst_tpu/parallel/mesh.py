@@ -96,11 +96,36 @@ def make_spatial_mesh(data, space, devices=None):
     `space` ways — scenes too large for one chip's HBM (e.g. resize 1.0,
     ~4200^2 maps) become tractable. 'space' must ride ICI (halo exchange
     happens every conv; the batch all-reduce only once per step), so on a
-    multi-slice pod this reuses the slice-aware hybrid layout: each 'data'
-    row takes its `space` chips from ONE slice, and a misaligned shape
-    falls back with make_hybrid_mesh's loud warning."""
-    return make_hybrid_mesh(data, space, axis_names=("data", "space"),
-                            devices=devices)
+    multi-slice pod every 'data' row takes its `space` chips from ONE
+    slice — unlike the hybrid mesh, several rows may share a slice (e.g.
+    4x4 on a 2-slice x 8-chip pod puts two data rows in each slice). A
+    shape no within-slice layout can satisfy falls back to a row-major
+    reshape with a loud warning."""
+    devices = devices if devices is not None else jax.devices()
+    by_slice = {}
+    for d in devices:
+        by_slice.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    slice_ids = sorted(by_slice)
+    if len(slice_ids) > 1:
+        rows = []
+        for s in slice_ids:
+            chips = by_slice[s]
+            for i in range(len(chips) // space):
+                if len(rows) < data:
+                    rows.append(chips[i * space:(i + 1) * space])
+        if len(rows) == data:
+            return Mesh(np.asarray(rows), ("data", "space"))
+        warnings.warn(
+            f"make_spatial_mesh({data}x{space}): devices span "
+            f"{len(slice_ids)} slices but no within-slice layout fits "
+            f"(chips/slice: { {s: len(v) for s, v in by_slice.items()} }); "
+            f"falling back to a row-major reshape whose 'space' axis may "
+            f"cross DCN",
+            stacklevel=2)
+    n = data * space
+    assert n <= len(devices), (data, space, len(devices))
+    dev_array = np.asarray(devices[:n]).reshape(data, space)
+    return Mesh(dev_array, axis_names=("data", "space"))
 
 
 def mesh_from_shape(mesh_shape, axis_names=None):

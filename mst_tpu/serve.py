@@ -88,13 +88,15 @@ def _overlay(base, flat):
                            "base params")
         old = node[leaf]
         old_dtype = getattr(old, "dtype", None) or np.asarray(old).dtype
-        if np.shape(old) != np.shape(val) or \
-                old_dtype != np.asarray(val).dtype:
+        val = np.asarray(val)
+        if np.shape(old) != val.shape or old_dtype != val.dtype:
+            # note: never np.asarray(old) here — that would pull a
+            # device-resident base leaf to host just to print its metadata
             raise ValueError(
                 f"delta key '{key}' has shape/dtype "
-                f"{np.shape(val)}/{np.asarray(val).dtype}, base has "
-                f"{np.shape(old)}/{np.asarray(old).dtype} — the exported "
-                "program is fixed-shape")
+                f"{val.shape}/{val.dtype}, base has "
+                f"{np.shape(old)}/{old_dtype} — the exported program is "
+                "fixed-shape")
         node[leaf] = val
     return out
 
@@ -284,7 +286,14 @@ class LoadedModel:
 
         if key is None:
             key = jax.random.PRNGKey(seed)
-        params = self.params if style is None else self._styles[style]
+        if style is None:
+            params = self.params
+        elif style in self._styles:
+            params = self._styles[style]
+        else:
+            raise ValueError(
+                f"unknown serving style '{style}'; registered styles: "
+                f"{self.styles or '(none — call add_style first)'}")
         semantic = np.asarray(semantic, np.float32)
         observed = np.asarray(observed, np.float32)
         fwd_out = self._forward.call(params, self.state, semantic,

@@ -236,3 +236,20 @@ def test_spatial_mesh_misaligned_warns_space_axis(captured_mesh):
     with pytest.warns(UserWarning, match="'space' axis may cross DCN"):
         mesh_lib.make_spatial_mesh(1, 8, devices=devs)
     assert captured_mesh["devices"].shape == (1, 8)
+
+
+def test_spatial_mesh_multiple_rows_per_slice(captured_mesh):
+    """Unlike the hybrid mesh (one 'replica' row per slice), the spatial
+    layout may put several 'data' rows in one slice: 4x4 on a 2-slice x
+    8-chip pod is valid (two rows per slice) and must NOT warn."""
+    import warnings as w
+    devs = _fake_pod(2, 8)
+    with w.catch_warnings():
+        w.simplefilter("error")
+        mesh_lib.make_spatial_mesh(4, 4, devices=devs)
+    arr = captured_mesh["devices"]
+    assert arr.shape == (4, 4)
+    for r in range(4):
+        assert len({d.slice_index for d in arr[r]}) == 1
+    assert [d.id for d in arr[0]] == [0, 1, 2, 3]
+    assert [d.id for d in arr[2]] == [8, 9, 10, 11]

@@ -221,8 +221,6 @@ def test_multi_style_serving(tmp_path):
                                    position=["0", "1", "2", "3", "4"],
                                    seed=7))
     tuned.model_params = jax.tree.map(lambda x: x, base.model_params)
-    import jax.numpy as jnp
-    from mst_tpu.train import freeze as freeze_lib
     mask = tuned._trainable_mask()
     tuned.model_params = jax.tree.map(
         lambda x, m: x + 0.05 if m else x, tuned.model_params, mask)
