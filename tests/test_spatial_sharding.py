@@ -213,3 +213,40 @@ def test_spatial_experiment_train_e2e(tmp_path):
     # one per-metaId metrics DataFrame per round (n_round=1)
     assert len(list_metrics) == 1
     assert len(list_metrics[0]) == df_test.metaId.nunique()
+
+
+def test_spatial_bucketed_train_step_runs(tmp_path):
+    """Cross-scene bucketed batches work under a spatial mesh: the
+    (S, H, W, C) semantic stack shards H over 'space', scene_idx shards
+    with the rows, and the loss matches the single-device step."""
+    df, images = make_synthetic_dataset(seed=2, n_scenes=2, n_traj=4,
+                                        total_len=TOTAL_LEN)
+    params = _params(tmp_path, cross_scene_batching=True,
+                     max_scenes_per_batch=2)
+
+    losses = {}
+    for name, m in [("single", None),
+                    ("spatial", mesh_lib.make_spatial_mesh(2, 4))]:
+        exp = Experiment(params, mesh=m, images=images)
+        batches = exp.prepare_data(df, None, "train",
+                                   rng=np.random.default_rng(0))
+        batch = batches[0]
+        semantic = exp._semantic_for(batch, {})
+        db = exp._device_batch(batch, semantic)
+        if m is not None:
+            assert db["semantic"].sharding.spec == P(None, "space")
+        mask = exp._trainable_mask()
+        trainable, frozen = freeze_lib.split_params(exp.model_params, mask)
+        if m is not None:
+            trainable = mesh_lib.replicate_tree(m, trainable)
+            frozen = mesh_lib.replicate_tree(m, frozen)
+        optimizer = optax.adam(1e-3)
+        opt_state = optimizer.init(trainable)
+        step = steps_lib.make_train_step(exp.mcfg, exp._step_config(),
+                                         optimizer)
+        _, _, _, metrics = step(trainable, frozen, exp.model_state,
+                                opt_state, db)
+        losses[name] = float(metrics["loss"])
+
+    np.testing.assert_allclose(losses["single"], losses["spatial"],
+                               rtol=1e-4)
