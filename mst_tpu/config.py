@@ -89,6 +89,17 @@ def get_parser(is_train: bool) -> argparse.ArgumentParser:
                                  " reference's batch_size=1 scene loader"
                                  " pads every scene's last chunk)")
         parser.add_argument("--max_scenes_per_batch", default=8, type=int)
+        parser.add_argument("--fused", action="store_true",
+                            help="fuse whole chunks of the epoch loop into"
+                                 " ONE compiled program (lax.scan over"
+                                 " epochs: train steps + validation on"
+                                 " device, one host sync per chunk) —"
+                                 " removes the few-shot fine-tune's"
+                                 " per-step dispatch and per-epoch host"
+                                 " round trips; falls back to the loop"
+                                 " when ineligible (multiple scene shape"
+                                 " buckets, in-step segmentation,"
+                                 " multi-host)")
     return parser
 
 
@@ -105,7 +116,7 @@ _DEFAULTS = dict(
     n_fusion=None, use_features_only=False, compute_dtype="float32",
     mesh_shape=None, mesh_axes=None, remat=False,
     segmentation_model_fp=None, eval_k_chunk=0,
-    cross_scene_batching=False, max_scenes_per_batch=8,
+    cross_scene_batching=False, max_scenes_per_batch=8, fused=False,
 )
 
 

@@ -1,0 +1,304 @@
+"""Vectorized hyperparameter-grid fine-tuning: the whole seeds x lrs sweep
+as ONE compiled program.
+
+The reference runs its adaptation grids as bash loops of independent
+processes (e.g. scripts/sdd/ped_to_biker/tune_mosa.sh:28-41: seeds x lr x
+n_train, each a fresh `python train.py` that re-imports, re-traces and
+re-compiles everything). This is the TPU-native redesign of that workflow:
+
+- every (seed, lr) run's few-shot data, trainable partition and optimizer
+  state are STACKED along a run axis,
+- the fused multi-epoch runner (train/fused.py) is `jax.vmap`-ed over that
+  axis — the learning rate is a traced scalar, so ONE compile serves every
+  lr in the grid — and driven chunk-by-chunk by `lax.scan`,
+- on a mesh, the run axis shards over 'data': runs are independent, so the
+  sweep scales linearly with chips with ZERO collectives,
+- per-run smooth-val / early-stop / best-checkpoint selection replays on
+  the host afterwards (train/fused.py:replay_selection — the exact
+  bookkeeping Experiment.train applies per epoch), each selected model is
+  saved under the same experiment name `python train.py` would have used,
+  and the left-out test runs per run with the same seeding discipline
+  (train.py:59), so downstream tooling (log scrapers, multickpts,
+  importance) is oblivious to how the grid executed.
+
+Differences from looping train.py, by design:
+- per-run early stopping cannot end a run's DEVICE work early (runs advance
+  in lockstep); it is applied after the fact, so selected checkpoints and
+  reported metrics match — only the wasted epochs' compute differs.
+- no periodic mid-run checkpoints / --resume (grids are short few-shot
+  runs; re-running a grid is one command).
+- a diverged run (non-finite loss, e.g. too-high lr) is reported and
+  skipped instead of aborting the sweep.
+
+Usage (mirrors train.py flags, plus the grid axes):
+
+    python -m mst_tpu.grid --config_filename sdd_shortterm_train.yaml \
+        --fine_tune --train_net mosa_2 --position 0 1 2 3 4 \
+        --pretrained_ckpt ckpts/base.npz --smooth_val \
+        --seeds 1 2 3 --lrs 0.0005 0.001 0.005 [--log_dir logs/]
+"""
+
+import contextlib
+import copy
+import io
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mst_tpu import config as config_lib
+from mst_tpu.data.splits import prepare_dataset
+from mst_tpu.parallel import mesh as mesh_lib
+from mst_tpu.train import freeze as freeze_lib
+from mst_tpu.train import fused as fused_lib
+from mst_tpu.train.trainer import Experiment
+from mst_tpu.utils.seeding import set_random_seeds
+
+# host-side per-epoch snapshot budget (bytes) across the whole grid; the
+# chunk size adapts so R x chunk x |trainable| stays under it (LoRA grids
+# are ~100 KB/run and never hit this; full-FT grids do)
+SNAPSHOT_BUDGET = 2 << 30
+
+
+def _tree_stack(trees):
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                        *trees)
+
+
+def _tree_bytes(tree):
+    return sum(np.asarray(x).nbytes for x in jax.tree.leaves(tree))
+
+
+def _shard_runs(mesh, tree):
+    """Shard a stacked (R, ...) pytree's run axis over the mesh's batch
+    axes — runs are independent, so this is communication-free."""
+    if mesh is None:
+        return jax.tree.map(jnp.asarray, tree)
+    sh = NamedSharding(mesh, P(mesh_lib.batch_axes(mesh)))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def run_grid(args):
+    t0 = time.time()
+    seeds = list(args.seeds or [args.seed])
+    lrs = [float(x) for x in (args.lrs or [args.lr])]
+    runs = [(s, l) for l in lrs for s in seeds]  # lr-major like the grids
+    R = len(runs)
+
+    # ---- per-run host setup: split data, build/restore the model, pack
+    # the few-shot batches (identical to what `python train.py` does up to
+    # its epoch loop; Experiment._setup_training/_fused_pack are the same
+    # code paths)
+    exps, setups, names, tests, packs, rngs = [], [], [], [], [], []
+    for seed, lr in runs:
+        set_random_seeds(seed)
+        args_r = copy.deepcopy(args)
+        args_r.seed, args_r.lr = seed, lr
+        params = config_lib.get_params(args_r)
+        image_path, data_path = config_lib.get_image_and_data_path(params)
+        df_train, df_val, df_test = prepare_dataset(
+            data_path, args.load_data, args.batch_size, args.n_train_batch,
+            args.train_files, args.val_files, args.val_split,
+            args.test_splits, args.shuffle, args.share_val_test, "train",
+            args.show_details)
+        name = config_lib.get_experiment_name(
+            args_r, df_train.metaId.unique().shape[0])
+        print(f"[grid] run seed={seed} lr={lr}: {name}")
+        exp = Experiment(params)
+        if args.pretrained_ckpt is not None:
+            exp.load_params(args.pretrained_ckpt)
+        rng = np.random.default_rng(seed)
+        setup = exp._setup_training(df_train, df_val, image_path,
+                                    image_path, rng)
+        tr, va, why = exp._fused_pack(setup["train_batches"],
+                                      setup["val_batches"])
+        if tr is None:
+            raise SystemExit(f"grid runs must be fused-eligible: {why}")
+        exps.append(exp)
+        setups.append(setup)
+        names.append(name)
+        tests.append((df_test, image_path))
+        packs.append((tr, va))
+        rngs.append(rng)
+
+    n_batches = packs[0][0][0]["traj"].shape[0]
+    tdefs = {str(jax.tree.structure(p)) for p in packs}
+    if len(tdefs) != 1 or len({
+            tuple(np.shape(l) for l in jax.tree.leaves(p))
+            for p in packs}) != 1:
+        raise SystemExit(
+            "grid runs produced differently-shaped data (seeds changed the "
+            "split sizes or scene buckets); use predefined splits / a fixed "
+            "--n_train_batch so every run shares one shape")
+
+    boundaries = {str(s["lr_boundaries"]) for s in setups}
+    if len(boundaries) != 1:
+        raise SystemExit("grid runs disagree on the lr schedule")
+    lr_boundaries = setups[0]["lr_boundaries"]
+    ratio = (optax.piecewise_constant_schedule(1.0, lr_boundaries)
+             if lr_boundaries else None)
+
+    def opt_factory(lr):
+        if ratio is None:
+            return optax.adam(lr)
+        return optax.adam(lambda count: lr * ratio(count))
+
+    # ---- stack the run axis
+    mesh = mesh_lib.mesh_from_shape(args.mesh_shape, args.mesh_axes)
+    if mesh is not None and "space" in mesh.axis_names:
+        raise SystemExit("the grid shards RUNS over the mesh; use a 1D "
+                         "--mesh_shape (no 'space' axis)")
+    if mesh is not None and R % mesh_lib.batch_shard_count(mesh) != 0:
+        raise SystemExit(
+            f"{R} runs do not divide the mesh ({mesh.shape}); pad the "
+            f"--seeds/--lrs grid or shrink the mesh")
+    trainable = _shard_runs(mesh, _tree_stack(
+        [s["trainable"] for s in setups]))
+    opt_state = _shard_runs(mesh, _tree_stack(
+        [s["opt_state"] for s in setups]))
+    state = _shard_runs(mesh, _tree_stack(
+        [e.model_state for e in exps]))
+    keys = _shard_runs(mesh, np.stack(
+        [np.asarray(e._key) for e in exps]))
+    lrs_arr = _shard_runs(mesh, np.asarray([l for _, l in runs],
+                                           np.float32))
+    train_data = _shard_runs(mesh, _tree_stack([p[0] for p in packs]))
+    val_data = _shard_runs(mesh, _tree_stack([p[1] for p in packs]))
+    # the frozen base is identical across runs (same pretrained ckpt):
+    # keep ONE copy, replicated
+    frozen = setups[0]["frozen"]
+    if mesh is not None:
+        frozen = mesh_lib.replicate_tree(mesh, frozen)
+
+    exp0 = exps[0]
+    runner = fused_lib.make_epoch_runner(
+        exp0.mcfg, exp0._step_config(),
+        exp0._step_config(for_validation=True), opt_factory)
+    vrun = jax.jit(jax.vmap(
+        runner, in_axes=(0, None, 0, 0, 0, None, 0, 0, 0, 0)))
+
+    p = exp0.params
+    n_epoch = int(p["n_epoch"])
+    snap_bytes = max(_tree_bytes(setups[0]["trainable"]), 1)
+    chunk = max(1, min(fused_lib.MAX_CHUNK, n_epoch,
+                       SNAPSHOT_BUDGET // (R * snap_bytes)))
+    print(f"[grid] {R} runs ({len(seeds)} seeds x {len(lrs)} lrs), "
+          f"{n_epoch} epochs in chunks of {chunk}, "
+          f"{n_batches} train batches/epoch"
+          + (f", mesh {dict(mesh.shape)}" if mesh is not None else ""))
+
+    # ---- the sweep: scan chunks of vmapped fused epochs
+    orders = [np.arange(n_batches) for _ in runs]
+    chunks = []
+    e = 0
+    while e < n_epoch:
+        c = min(chunk, n_epoch - e)
+        perms = np.empty((R, c, n_batches), np.int32)
+        for r in range(R):
+            for j in range(c):
+                rngs[r].shuffle(orders[r])  # the trainer's shuffle stream
+                perms[r, j] = orders[r]
+        (trainable, state, opt_state), ys = vrun(
+            trainable, frozen, state, opt_state,
+            _shard_runs(mesh, perms),
+            jnp.arange(e, e + c, dtype=jnp.int32),
+            keys, lrs_arr, train_data, val_data)
+        chunks.append(jax.device_get(ys))
+        e += c
+    ys = jax.tree.map(lambda *xs: np.concatenate(xs, axis=1), *chunks)
+
+    # ---- per-run selection + save + left-out test (the order train.py
+    # prints them), each run's output also mirrored to <name>.out when
+    # --log_dir is given so the log-scrape tooling works unchanged
+    summary = []
+    for r, (seed, lr) in enumerate(runs):
+        exp, name = exps[r], names[r]
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ok = _finish_run(exp, name, ys, r, exp.params)
+            if ok:
+                print("############ Test leftout data ##############")
+                set_random_seeds(seed)
+                df_test, image_path = tests[r]
+                ade, fde, _, _ = exp.test(df_test, image_path)
+                summary.append((seed, lr, name, ade, fde))
+            else:
+                summary.append((seed, lr, name, float("nan"),
+                                float("nan")))
+        text = buf.getvalue()
+        print(f"===== run seed={seed} lr={lr} =====")
+        print(text, end="")
+        if args.log_dir:
+            os.makedirs(args.log_dir, exist_ok=True)
+            with open(os.path.join(args.log_dir, f"{name}.out"), "w") as f:
+                f.write(text)
+
+    print("\n[grid] summary (test minADE / minFDE):")
+    for seed, lr, name, ade, fde in summary:
+        print(f"  seed={seed} lr={lr}: ADE {ade:.4f} FDE {fde:.4f}  "
+              f"({name})")
+    print(f"[grid] {R} runs in {time.time() - t0:.1f}s")
+    return summary
+
+
+def _finish_run(exp, name, ys, r, p):
+    """Replay one run's per-epoch bookkeeping from the sweep outputs:
+    epoch lines, smooth-val/early-stop selection, final save. Returns
+    False for a diverged (non-finite loss) run."""
+    losses = ys["losses"][r]
+    if not np.isfinite(losses).all():
+        be, bb = np.argwhere(~np.isfinite(losses))[0]
+        print(f"[grid] run diverged: non-finite loss at epoch {int(be)}, "
+              f"scene-batch {int(bb)} (lr={p['lr']}); skipping")
+        return False
+    stop_e, best_epoch, best_snap = fused_lib.replay_selection(
+        [float(v) for v in ys["val_ade"][r]],
+        smooth_val=bool(p.get("smooth_val", False)),
+        window_size=int(p.get("window_size", 9)),
+        fine_tune=bool(p.get("fine_tune", False)),
+        n_early_stop=int(p.get("n_early_stop", 300)))
+    for e in range(stop_e + 1):
+        n = max(float(ys["train_n"][r, e]), 1)
+        print(f"Epoch {e}: \tTrain (Top-1) ADE: "
+              f"{float(ys['train_ade_sum'][r, e]) / n:.2f} "
+              f"FDE: {float(ys['train_fde_sum'][r, e]) / n:.2f} \t\t"
+              f"Val (Top-k) ADE: {float(ys['val_ade'][r, e]):.2f} "
+              f"FDE: {float(ys['val_fde'][r, e]):.2f}")
+    if stop_e < ys["val_ade"].shape[1] - 1:
+        print(f"Early stop at epoch {stop_e}")
+    print(f"Best epoch at {best_epoch}")
+    exp.val_ADE = [float(v) for v in ys["val_ade"][r, :stop_e + 1]]
+    exp.val_FDE = [float(v) for v in ys["val_fde"][r, :stop_e + 1]]
+    pick = (best_snap if best_epoch != 0 and best_snap is not None
+            else stop_e)
+    snapshot = jax.tree.map(lambda a: a[r, pick], ys["snapshot"])
+    exp.model_params = freeze_lib.merge_params(
+        snapshot, freeze_lib.split_params(exp.model_params,
+                                          exp._trainable_mask())[1])
+    exp.model_state = jax.tree.map(lambda a: a[r, stop_e],
+                                   ys["state_snapshot"])
+    config_lib.ensure_dir(p["ckpt_path"])
+    exp.save_params(f'{p["ckpt_path"]}/{name}.npz',
+                    mask=exp._trainable_mask())
+    return True
+
+
+def get_parser():
+    parser = config_lib.get_parser(True)
+    parser.add_argument("--seeds", type=int, nargs="+", default=None,
+                        help="grid seed axis (default: just --seed)")
+    parser.add_argument("--lrs", type=float, nargs="+", default=None,
+                        help="grid learning-rate axis (default: just --lr)")
+    parser.add_argument("--log_dir", type=str, default=None,
+                        help="write per-run <experiment>.out logs "
+                             "(byte-compatible with the scrape tooling)")
+    return parser
+
+
+if __name__ == "__main__":
+    run_grid(get_parser().parse_args())

@@ -155,7 +155,8 @@ def _prepare_inputs(mcfg, scfg, params, semantic, traj, train, rng=None,
     return semantic, observed_map, seg_updates
 
 
-def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
+def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer,
+                    jit: bool = True):
     """Build the jitted train step.
 
     Step signature:
@@ -165,6 +166,9 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
                 traj (B,total_len,2), mask (B,)).
 
     Equivalent work to utils/train_epoch.py:44-126 but fused on device.
+
+    jit=False returns the untraced body — the fused multi-epoch trainer
+    (train/fused.py) scans it on device inside ONE program.
     """
     waypoints = jnp.asarray(scfg.waypoints)
     pack0 = bool(scfg.packed_decode) and ynet_lib.can_pack_stage0(mcfg)
@@ -280,7 +284,6 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
         }
         return loss, (new_state, metrics)
 
-    @jax.jit
     def train_step(trainable, frozen, state, opt_state, batch):
         grads, (new_state, metrics) = jax.grad(
             loss_fn, has_aux=True)(trainable, frozen, state, batch)
@@ -288,7 +291,7 @@ def make_train_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig, optimizer):
         trainable = optax.apply_updates(trainable, updates)
         return trainable, new_state, opt_state, metrics
 
-    return train_step
+    return jax.jit(train_step) if jit else train_step
 
 
 # ---------------------------------------------------------------------------
@@ -314,7 +317,7 @@ def _ttst_goals(key, mcfg, params, pred_waypoint_map, pred_wp_sigmoid, scfg):
 
 
 def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
-                   collect_samples: bool = False):
+                   collect_samples: bool = False, jit: bool = True):
     """Build the multi-goal eval step.
 
     Signature: (params, state, batch, key) -> metrics dict with per-trajectory
@@ -329,12 +332,17 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
     collect_samples additionally returns the goal map, its tempered sigmoid
     and the per-K waypoint samples (reference evaluate.py:75-80,240-245 —
     the return_samples visualization payload), NHWC instead of NCHW.
+
+    jit=False leaves every sub-program untraced (a pure composition) so the
+    fused multi-epoch trainer (train/fused.py) can scan the whole
+    validation pass inside its one compiled program.
     """
     waypoints = jnp.asarray(scfg.waypoints)
     n_wp = len(scfg.waypoints)
     pack0 = bool(scfg.packed_decode) and ynet_lib.can_pack_stage0(mcfg)
+    maybe_jit = jax.jit if jit else (lambda f: f)
 
-    @jax.jit
+    @maybe_jit
     def forward(params, state, batch, key):
         params = _compute_params(params, scfg)
         traj = batch["traj"]
@@ -342,7 +350,8 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
         semantic, observed_map, _ = _prepare_inputs(
             mcfg, scfg, params, batch["semantic"], traj, train=False,
             seg_bn_state=state.get("segmentation_bn")
-            if isinstance(state, dict) else None)
+            if isinstance(state, dict) else None,
+            scene_idx=batch.get("scene_idx"))
         features, _ = ynet_lib.pred_features(
             params, state, mcfg, semantic, observed_map, train=False,
             packed_stage0=pack0)
@@ -381,7 +390,7 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
             return features, waypoint_samples, pred_goal_map
         return features, waypoint_samples
 
-    @jax.jit
+    @maybe_jit
     def _decode_all(params, features, waypoint_samples):
         """All K decodes (lax.map over chunks, body compiled once) ->
         (Ktot, B, pred_len, 2) model-space trajectories. Encoder
@@ -440,7 +449,7 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
         return jax.lax.map(
             decode_chunk, chunks).reshape(Ktot, B, scfg.pred_len, 2)
 
-    @jax.jit
+    @maybe_jit
     def decode_and_score(params, features, waypoint_samples, traj, mask,
                          batch_hom):
         """K decodes (_decode_all) + the min-over-K metrics

@@ -275,12 +275,64 @@ class Experiment:
             db = mesh_lib.shard_batch(self.mesh, db)
         return db
 
-    # -- train (reference trainer.py:80-293) --------------------------------
-    def train(self, df_train, df_val, train_image_path, val_image_path,
-              experiment_name):
+    def _fused_pack(self, train_batches, val_batches):
+        """Eligibility gates + host-side packing for the fused multi-epoch
+        path (train/fused.py). Returns (train_pack, val_pack, None) or
+        (None, None, reason). Eligible when the whole run is one static
+        program: the backbone stays cached (no in-step segmentation, no
+        e_unfreeze boundary), every scene batch shares one (H, W) shape
+        bucket, and data is single-process (multi-host runs feed per-host
+        shards through parallel/hostdata.py instead)."""
+        from mst_tpu.train import fused as fused_lib
+
         p = self.params
-        t0 = time.time()
-        rng = np.random.default_rng(int(p.get("seed", 1)))
+        if self._segment_in_step():
+            return None, None, "segmentation runs inside the train step"
+        if self._e_unfreeze() is not None:
+            return None, None, "e_unfreeze switches programs mid-training"
+        if jax.process_count() > 1:
+            return None, None, "multi-host runs feed per-host shards"
+        seg_cache = {}
+
+        def sem(b):
+            return self._semantic_for(b, seg_cache)
+
+        hom = (self._homography_for
+               if p["dataset_name"].lower() == "eth" else None)
+        tr = fused_lib.pack_batches(train_batches, sem, hom)
+        va = fused_lib.pack_batches(val_batches, sem, hom)
+        if tr is None or va is None:
+            return None, None, ("scene batches span multiple (H, W) shape "
+                                "buckets, are cross-scene bucketed, or a "
+                                "split is empty")
+        return tr, va, None
+
+    def _make_fused(self, train_batches, val_batches, optimizer):
+        """Build the fused multi-epoch runner (train/fused.py) for this
+        run, or (None, None, reason) when ineligible (_fused_pack)."""
+        from mst_tpu.train import fused as fused_lib
+
+        tr, va, why = self._fused_pack(train_batches, val_batches)
+        if tr is None:
+            return None, None, why
+        train_data = fused_lib.stage_data(self.mesh, *tr)
+        val_data = fused_lib.stage_data(self.mesh, *va)
+        runner = fused_lib.make_fused_epochs(
+            self.mcfg, self._step_config(), self._step_config(
+                for_validation=True), optimizer, self._key,
+            train_data, val_data)
+        return runner, fused_lib.chunk_size(
+            self.params.get("save_every_n", 10)), None
+
+    # -- train (reference trainer.py:80-293) --------------------------------
+    def _setup_training(self, df_train, df_val, train_image_path,
+                        val_image_path, rng):
+        """Shared train-run setup (batches, freeze split, optimizer) for
+        the in-process loop (train) and the vectorized grid runner
+        (mst_tpu.grid). Returns a dict; 'lr_boundaries' is the step ->
+        decay-ratio map (None when no schedule) so a caller can rebuild
+        the same schedule with a traced learning rate."""
+        p = self.params
         train_batches = self.prepare_data(
             df_train, train_image_path, "train",
             augment=p.get("augment", False), rng=rng)
@@ -313,9 +365,28 @@ class Experiment:
                 p.get("lr_decay_ratio", 0.1)) for m in p["steps"]}
             schedule = optax.piecewise_constant_schedule(lr, boundaries)
         else:
+            boundaries = None
             schedule = lr
         optimizer = optax.adam(schedule)
         opt_state = optimizer.init(trainable)
+        return dict(train_batches=train_batches, val_batches=val_batches,
+                    mask=mask, trainable=trainable, frozen=frozen,
+                    optimizer=optimizer, opt_state=opt_state,
+                    fine_tune=fine_tune, lr_boundaries=boundaries)
+
+    def train(self, df_train, df_val, train_image_path, val_image_path,
+              experiment_name):
+        p = self.params
+        t0 = time.time()
+        rng = np.random.default_rng(int(p.get("seed", 1)))
+        setup = self._setup_training(df_train, df_val, train_image_path,
+                                     val_image_path, rng)
+        train_batches = setup["train_batches"]
+        val_batches = setup["val_batches"]
+        mask, trainable, frozen = (setup["mask"], setup["trainable"],
+                                   setup["frozen"])
+        optimizer, opt_state = setup["optimizer"], setup["opt_state"]
+        fine_tune = setup["fine_tune"]
 
         segment_in_step = self._segment_in_step()
         train_step = steps_lib.make_train_step(
@@ -375,53 +446,17 @@ class Experiment:
             print(f"Resumed training state at epoch {start_epoch} "
                   f"from {train_state_path}")
 
-        for e in range(start_epoch, int(p["n_epoch"])):
-            # ---- one training epoch; scene-batch order reshuffled per
-            # epoch like the reference's DataLoader(shuffle=True)
-            # (trainer.py:574-576) — independent of the --shuffle flag,
-            # which controls data *splits*
-            # e_unfreeze boundary: from this epoch the backbone runs inside
-            # the step with batch-stats BN; its running stats move into
-            # state['segmentation_bn'] and adapt (reference
-            # train_epoch.py:27-48). Earlier epochs keep the cached path.
-            in_unfreeze = e_unfreeze is not None and e >= e_unfreeze
-            if in_unfreeze and unfreeze_step is None:
-                unfreeze_step = steps_lib.make_train_step(
-                    self.mcfg, self._step_config(segment_in_step=True,
-                                                 segment_train_mode=True),
-                    optimizer)
-                if "segmentation_bn" not in state:
-                    from mst_tpu.models.unet import extract_bn_stats
-                    state = {**state, "segmentation_bn": extract_bn_stats(
-                        self.model_params["segmentation"])}
-            step = unfreeze_step if in_unfreeze else train_step
+        n_batches = len(train_batches)
 
-            seg_cache = {}
-            rng.shuffle(train_batches)
-            raw_sem = segment_in_step or in_unfreeze
-
-            def make_db(batch):
-                return self._device_batch(
-                    batch, self._semantic_for(batch, seg_cache, raw=raw_sem))
-
-            # double-buffered host->device transfer (parallel/hostdata.py):
-            # batch i+1's device_puts are enqueued while step i computes.
-            # Metric scalars stay ON DEVICE during the epoch — a float()
-            # per step forces a host sync that serializes dispatch and
-            # idles the chip for the Python latency each step.
-            step_metrics = []
-            for db in hostdata.prefetch_to_device(train_batches, make_db):
-                trainable, state, opt_state, metrics = step(
-                    trainable, frozen, state, opt_state, db)
-                step_metrics.append(metrics)
-                # bound the blast radius of a NaN: one host sync per 100
-                # steps (a sync EVERY step would serialize dispatch; the
-                # full guard below still pinpoints the exact batch)
-                if len(step_metrics) % 100 == 0 and not np.isfinite(
-                        float(metrics["loss"])):
-                    break
-            step_metrics = jax.device_get(step_metrics)  # one epoch sync
-            losses = np.asarray([m["loss"] for m in step_metrics])
+        def finish_epoch(e, losses, ade_sum, fde_sum, n_sum, val_ade,
+                         val_fde, snapshot, cur_trainable, cur_opt_state,
+                         cur_state):
+            """Per-epoch bookkeeping, identical for the loop and fused
+            paths: NaN guard, stdout/JSONL metrics, smooth-val selection,
+            best tracking, periodic saves, early stop. Returns True to
+            stop training."""
+            nonlocal best_val_ade, best_epoch, best_snapshot
+            losses = np.asarray(losses)
             if not np.isfinite(losses).all():
                 # fail fast with context instead of training on garbage
                 # (SURVEY §5: NaN/inf guards replace torch sanitizers)
@@ -431,20 +466,10 @@ class Experiment:
                     f"scene-batch {bi} (lr={p['lr']}, "
                     f"loss_scale={p.get('loss_scale')}); inspect the "
                     f"input data or lower --lr")
-            ade_sum = float(sum(m["ade_sum"] for m in step_metrics))
-            fde_sum = float(sum(m["fde_sum"] for m in step_metrics))
             loss_sum = float(losses.sum())
-            n_sum = float(sum(m["n"] for m in step_metrics))
-            meter.update(n_sum, len(train_batches))
+            meter.update(n_sum, n_batches)
             train_ade = ade_sum / max(n_sum, 1)
             train_fde = fde_sum / max(n_sum, 1)
-
-            # ---- validation (TTST/CWS off, trainer.py:229-235)
-            self.model_params = freeze_lib.merge_params(trainable, frozen)
-            self.model_state = state
-            ekey = jax.random.fold_in(self._key, e)
-            val_ade, val_fde, _, _ = self._evaluate(
-                val_batches, eval_step, ekey)
             self.val_ADE.append(val_ade)
             self.val_FDE.append(val_fde)
             print(f"Epoch {e}: \tTrain (Top-1) ADE: {train_ade:.2f} "
@@ -454,11 +479,10 @@ class Experiment:
                 metrics_log.log(epoch=e, train_ade=train_ade,
                                 train_fde=train_fde, val_ade=val_ade,
                                 val_fde=val_fde,
-                                loss=loss_sum / max(len(train_batches), 1),
+                                loss=loss_sum / max(n_batches, 1),
                                 **meter.rates())
 
             # ---- smooth-val ckpt selection (trainer.py:248-267)
-            snapshot = jax.tree.map(np.asarray, trainable)
             if smooth_val:
                 if len(snapshots) == half_window:
                     current = snapshots.popleft()
@@ -491,8 +515,8 @@ class Experiment:
                     f'{p["ckpt_path"]}/{experiment_name}__epoch_{e}.npz',
                     mask=mask, block=False)
                 self.save_training_state(
-                    train_state_path, trainable, opt_state, e + 1,
-                    val_history=self.val_ADE, model_state=state,
+                    train_state_path, cur_trainable, cur_opt_state, e + 1,
+                    val_history=self.val_ADE, model_state=cur_state,
                     val_fde_history=self.val_FDE,
                     best_snapshot=best_snapshot,
                     best_val_ade=best_val_ade, best_epoch=best_epoch,
@@ -503,7 +527,133 @@ class Experiment:
             if fine_tune and self.val_ADE and \
                     best_val_ade < min(self.val_ADE[-n_early_stop:]):
                 print(f"Early stop at epoch {e}")
-                break
+                return True
+            return False
+
+        # ---- fused multi-epoch path (--fused): whole chunks of the epoch
+        # loop run as ONE compiled program (train/fused.py) — the few-shot
+        # fine-tune's host round trips (per-step dispatch, per-epoch metric
+        # pulls) collapse to one sync per chunk. Bookkeeping above is
+        # shared, so selection/early-stop/ckpt behavior is identical.
+        fused_runner = None
+        if p.get("fused"):
+            fused_runner, fused_chunk, why = self._make_fused(
+                train_batches, val_batches, optimizer)
+            if fused_runner is None:
+                print(f"--fused unavailable ({why}); using the epoch loop")
+
+        if fused_runner is not None:
+            order = np.arange(n_batches)
+            e = start_epoch
+            stopped = False
+            while e < int(p["n_epoch"]) and not stopped:
+                c = min(fused_chunk, int(p["n_epoch"]) - e)
+                perms = np.empty((c, n_batches), np.int32)
+                for j in range(c):
+                    # the same per-epoch in-place shuffle stream as the
+                    # loop path (order composes across epochs like the
+                    # list does), so batch order is bit-identical
+                    rng.shuffle(order)
+                    perms[j] = order
+                (trainable, state, opt_state), ys = fused_runner(
+                    trainable, frozen, state, opt_state,
+                    jax.numpy.asarray(perms),
+                    jax.numpy.arange(e, e + c, dtype=jax.numpy.int32))
+                ys = jax.device_get(ys)  # ONE host sync per chunk
+                for j in range(c):
+                    snapshot = jax.tree.map(lambda a: a[j], ys["snapshot"])
+                    st_j = jax.tree.map(lambda a: a[j],
+                                        ys["state_snapshot"])
+                    self.model_params = freeze_lib.merge_params(snapshot,
+                                                                frozen)
+                    self.model_state = st_j
+                    if finish_epoch(
+                            e + j, ys["losses"][j],
+                            float(ys["train_ade_sum"][j]),
+                            float(ys["train_fde_sum"][j]),
+                            float(ys["train_n"][j]),
+                            float(ys["val_ade"][j]),
+                            float(ys["val_fde"][j]),
+                            snapshot, trainable, opt_state, state):
+                        # roll back to the stop epoch's values (loop
+                        # parity: later chunk epochs never happened)
+                        trainable = jax.tree.map(jax.numpy.asarray,
+                                                 snapshot)
+                        state = st_j
+                        stopped = True
+                        break
+                e += c
+        else:
+            for e in range(start_epoch, int(p["n_epoch"])):
+                # ---- one training epoch; scene-batch order reshuffled per
+                # epoch like the reference's DataLoader(shuffle=True)
+                # (trainer.py:574-576) — independent of the --shuffle flag,
+                # which controls data *splits*
+                # e_unfreeze boundary: from this epoch the backbone runs
+                # inside the step with batch-stats BN; its running stats
+                # move into state['segmentation_bn'] and adapt (reference
+                # train_epoch.py:27-48). Earlier epochs keep the cached
+                # path.
+                in_unfreeze = e_unfreeze is not None and e >= e_unfreeze
+                if in_unfreeze and unfreeze_step is None:
+                    unfreeze_step = steps_lib.make_train_step(
+                        self.mcfg,
+                        self._step_config(segment_in_step=True,
+                                          segment_train_mode=True),
+                        optimizer)
+                    if "segmentation_bn" not in state:
+                        from mst_tpu.models.unet import extract_bn_stats
+                        state = {**state,
+                                 "segmentation_bn": extract_bn_stats(
+                                     self.model_params["segmentation"])}
+                step = unfreeze_step if in_unfreeze else train_step
+
+                seg_cache = {}
+                rng.shuffle(train_batches)
+                raw_sem = segment_in_step or in_unfreeze
+
+                def make_db(batch):
+                    return self._device_batch(
+                        batch,
+                        self._semantic_for(batch, seg_cache, raw=raw_sem))
+
+                # double-buffered host->device transfer (parallel/
+                # hostdata.py): batch i+1's device_puts are enqueued while
+                # step i computes. Metric scalars stay ON DEVICE during the
+                # epoch — a float() per step forces a host sync that
+                # serializes dispatch and idles the chip for the Python
+                # latency each step.
+                step_metrics = []
+                for db in hostdata.prefetch_to_device(train_batches,
+                                                      make_db):
+                    trainable, state, opt_state, metrics = step(
+                        trainable, frozen, state, opt_state, db)
+                    step_metrics.append(metrics)
+                    # bound the blast radius of a NaN: one host sync per
+                    # 100 steps (a sync EVERY step would serialize
+                    # dispatch; the full guard in finish_epoch still
+                    # pinpoints the exact batch)
+                    if len(step_metrics) % 100 == 0 and not np.isfinite(
+                            float(metrics["loss"])):
+                        break
+                step_metrics = jax.device_get(step_metrics)  # 1 epoch sync
+                losses = np.asarray([m["loss"] for m in step_metrics])
+                ade_sum = float(sum(m["ade_sum"] for m in step_metrics))
+                fde_sum = float(sum(m["fde_sum"] for m in step_metrics))
+                n_sum = float(sum(m["n"] for m in step_metrics))
+
+                # ---- validation (TTST/CWS off, trainer.py:229-235)
+                self.model_params = freeze_lib.merge_params(trainable,
+                                                            frozen)
+                self.model_state = state
+                ekey = jax.random.fold_in(self._key, e)
+                val_ade, val_fde, _, _ = self._evaluate(
+                    val_batches, eval_step, ekey)
+                snapshot = jax.tree.map(np.asarray, trainable)
+                if finish_epoch(e, losses, ade_sum, fde_sum, n_sum,
+                                val_ade, val_fde, snapshot, trainable,
+                                opt_state, state):
+                    break
 
         print(f"Best epoch at {best_epoch}")
         if best_epoch != 0 and best_snapshot is not None:
