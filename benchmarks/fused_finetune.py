@@ -67,9 +67,12 @@ def fake_pack(n_batches, seed=0):
 
 
 def time_fused(epochs, chunk, runner, args_builder, label):
-    # one warmup chunk (compile), then timed
-    out = runner(*args_builder(0, min(chunk, epochs)))
-    jax.block_until_ready(jax.tree.leaves(out[1])[0])
+    # warm up EVERY chunk length the loop will use (a non-dividing final
+    # chunk is a different program; compiling it inside the timed region
+    # would corrupt the measurement)
+    for c in {min(chunk, epochs), epochs % chunk or chunk}:
+        out = runner(*args_builder(0, c))
+        jax.block_until_ready(jax.tree.leaves(out[1])[0])
     t0 = time.perf_counter()
     e = 0
     while e < epochs:

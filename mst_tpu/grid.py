@@ -59,9 +59,11 @@ from mst_tpu.train import fused as fused_lib
 from mst_tpu.train.trainer import Experiment
 from mst_tpu.utils.seeding import set_random_seeds
 
-# host-side per-epoch snapshot budget (bytes) across the whole grid; the
-# chunk size adapts so R x chunk x |trainable| stays under it (LoRA grids
-# are ~100 KB/run and never hit this; full-FT grids do)
+# transient per-chunk snapshot-transfer budget (bytes): each chunk's
+# device_get materializes R x chunk x |trainable| of per-epoch snapshots
+# before the stream-and-prune bookkeeping below discards all but the
+# selectable ones, so the chunk size adapts to keep that transient bounded
+# (LoRA grids are ~100 KB/run and never hit this; full-FT grids do)
 SNAPSHOT_BUDGET = 2 << 30
 
 
@@ -169,9 +171,23 @@ def run_grid(args):
                                            np.float32))
     train_data = _shard_runs(mesh, _tree_stack([p[0] for p in packs]))
     val_data = _shard_runs(mesh, _tree_stack([p[1] for p in packs]))
-    # the frozen base is identical across runs (same pretrained ckpt):
-    # keep ONE copy, replicated
+    # the frozen base must be identical across runs for the grid to share
+    # ONE copy — true when a pretrained checkpoint covering the frozen
+    # partition is loaded (the grids' setting), FALSE when runs random-init
+    # from their own seeds or the ckpt is a delta-only overlay; verify
+    # instead of assuming, or seeds 2+ would silently train against run
+    # 1's backbone
     frozen = setups[0]["frozen"]
+    leaves0 = jax.tree.leaves(frozen)
+    for r in range(1, R):
+        for a, b in zip(leaves0, jax.tree.leaves(setups[r]["frozen"])):
+            if not np.array_equal(np.asarray(a), np.asarray(b)):
+                raise SystemExit(
+                    "grid runs disagree on their frozen parameters (runs "
+                    "share one frozen base); pass --pretrained_ckpt with a "
+                    "FULL checkpoint that covers the frozen partition "
+                    "(delta-only/absent ckpts leave seed-specific random "
+                    "init in the base)")
     if mesh is not None:
         frozen = mesh_lib.replicate_tree(mesh, frozen)
 
@@ -192,11 +208,26 @@ def run_grid(args):
           f"{n_batches} train batches/epoch"
           + (f", mesh {dict(mesh.shape)}" if mesh is not None else ""))
 
-    # ---- the sweep: scan chunks of vmapped fused epochs
+    # ---- the sweep: scan chunks of vmapped fused epochs, streaming each
+    # chunk's results through per-run incremental bookkeeping. Snapshots
+    # are COPIED and pruned to the ones a future selection could still
+    # pick (Selection.live_snapshots: the smooth-val window + current best
+    # + last), so host memory stays O(R x half_window x |trainable|)
+    # however long the sweep — not O(R x n_epoch).
+    sels = [fused_lib.Selection(
+        smooth_val=bool(p.get("smooth_val", False)),
+        window_size=int(p.get("window_size", 9)),
+        fine_tune=bool(p.get("fine_tune", False)),
+        n_early_stop=int(p.get("n_early_stop", 300))) for _ in runs]
+    hist = [[] for _ in runs]          # (ade, fde, val_ade, val_fde)/epoch
+    snaps = [dict() for _ in runs]     # epoch -> trainable copy (bounded)
+    last_state = [None] * R            # state at the last processed epoch
+    diverged = [None] * R              # (epoch, batch) where loss went bad
+    done = [False] * R
+
     orders = [np.arange(n_batches) for _ in runs]
-    chunks = []
     e = 0
-    while e < n_epoch:
+    while e < n_epoch and not all(done):
         c = min(chunk, n_epoch - e)
         perms = np.empty((R, c, n_batches), np.int32)
         for r in range(R):
@@ -208,11 +239,41 @@ def run_grid(args):
             _shard_runs(mesh, perms),
             jnp.arange(e, e + c, dtype=jnp.int32),
             keys, lrs_arr, train_data, val_data)
-        chunks.append(jax.device_get(ys))
+        ys = jax.device_get(ys)
+        for r in range(R):
+            if done[r]:
+                continue
+            for j in range(c):
+                ep = e + j
+                losses = ys["losses"][r, j]
+                if not np.isfinite(losses).all():
+                    # train.py raises here and writes no final ckpt; the
+                    # grid marks the run failed and moves on. Overshoot
+                    # epochs past a run's early stop never reach this
+                    # check, matching what train.py would have executed.
+                    bi = int(np.flatnonzero(~np.isfinite(losses))[0])
+                    diverged[r] = (ep, bi)
+                    done[r] = True
+                    break
+                n = max(float(ys["train_n"][r, j]), 1)
+                hist[r].append((float(ys["train_ade_sum"][r, j]) / n,
+                                float(ys["train_fde_sum"][r, j]) / n,
+                                float(ys["val_ade"][r, j]),
+                                float(ys["val_fde"][r, j])))
+                snaps[r][ep] = jax.tree.map(lambda a: np.array(a[r, j]),
+                                            ys["snapshot"])
+                last_state[r] = jax.tree.map(lambda a: np.array(a[r, j]),
+                                             ys["state_snapshot"])
+                stop = sels[r].step(ep, float(ys["val_ade"][r, j]))
+                live = sels[r].live_snapshots()
+                for k in [k for k in snaps[r] if k not in live]:
+                    del snaps[r][k]
+                if stop:
+                    done[r] = True
+                    break
         e += c
-    ys = jax.tree.map(lambda *xs: np.concatenate(xs, axis=1), *chunks)
 
-    # ---- per-run selection + save + left-out test (the order train.py
+    # ---- per-run output + save + left-out test (the order train.py
     # prints them), each run's output also mirrored to <name>.out when
     # --log_dir is given so the log-scrape tooling works unchanged
     summary = []
@@ -220,7 +281,8 @@ def run_grid(args):
         exp, name = exps[r], names[r]
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            ok = _finish_run(exp, name, ys, r, exp.params)
+            ok = _emit_run(exp, name, sels[r], hist[r], snaps[r],
+                           last_state[r], diverged[r])
             if ok:
                 print("############ Test leftout data ##############")
                 set_random_seeds(seed)
@@ -246,42 +308,32 @@ def run_grid(args):
     return summary
 
 
-def _finish_run(exp, name, ys, r, p):
-    """Replay one run's per-epoch bookkeeping from the sweep outputs:
-    epoch lines, smooth-val/early-stop selection, final save. Returns
-    False for a diverged (non-finite loss) run."""
-    losses = ys["losses"][r]
-    if not np.isfinite(losses).all():
-        be, bb = np.argwhere(~np.isfinite(losses))[0]
-        print(f"[grid] run diverged: non-finite loss at epoch {int(be)}, "
-              f"scene-batch {int(bb)} (lr={p['lr']}); skipping")
+def _emit_run(exp, name, sel, hist, snaps, state, diverged):
+    """One run's epoch lines, selection and final save from the streamed
+    bookkeeping. Returns False for a diverged (non-finite loss) run."""
+    p = exp.params
+    if diverged is not None:
+        ep, bi = diverged
+        print(f"[grid] run diverged: non-finite loss at epoch {ep}, "
+              f"scene-batch {bi} (lr={p['lr']}); skipping")
         return False
-    stop_e, best_epoch, best_snap = fused_lib.replay_selection(
-        [float(v) for v in ys["val_ade"][r]],
-        smooth_val=bool(p.get("smooth_val", False)),
-        window_size=int(p.get("window_size", 9)),
-        fine_tune=bool(p.get("fine_tune", False)),
-        n_early_stop=int(p.get("n_early_stop", 300)))
-    for e in range(stop_e + 1):
-        n = max(float(ys["train_n"][r, e]), 1)
-        print(f"Epoch {e}: \tTrain (Top-1) ADE: "
-              f"{float(ys['train_ade_sum'][r, e]) / n:.2f} "
-              f"FDE: {float(ys['train_fde_sum'][r, e]) / n:.2f} \t\t"
-              f"Val (Top-k) ADE: {float(ys['val_ade'][r, e]):.2f} "
-              f"FDE: {float(ys['val_fde'][r, e]):.2f}")
-    if stop_e < ys["val_ade"].shape[1] - 1:
+    for e, (ta, tf, va, vf) in enumerate(hist):
+        print(f"Epoch {e}: \tTrain (Top-1) ADE: {ta:.2f} "
+              f"FDE: {tf:.2f} \t\tVal (Top-k) ADE: {va:.2f} "
+              f"FDE: {vf:.2f}")
+    stop_e = len(hist) - 1
+    if sel.stopped:
         print(f"Early stop at epoch {stop_e}")
-    print(f"Best epoch at {best_epoch}")
-    exp.val_ADE = [float(v) for v in ys["val_ade"][r, :stop_e + 1]]
-    exp.val_FDE = [float(v) for v in ys["val_fde"][r, :stop_e + 1]]
-    pick = (best_snap if best_epoch != 0 and best_snap is not None
+    print(f"Best epoch at {sel.best_epoch}")
+    exp.val_ADE = [h[2] for h in hist]
+    exp.val_FDE = [h[3] for h in hist]
+    pick = (sel.best_snap
+            if sel.best_epoch != 0 and sel.best_snap is not None
             else stop_e)
-    snapshot = jax.tree.map(lambda a: a[r, pick], ys["snapshot"])
     exp.model_params = freeze_lib.merge_params(
-        snapshot, freeze_lib.split_params(exp.model_params,
-                                          exp._trainable_mask())[1])
-    exp.model_state = jax.tree.map(lambda a: a[r, stop_e],
-                                   ys["state_snapshot"])
+        snaps[pick], freeze_lib.split_params(exp.model_params,
+                                             exp._trainable_mask())[1])
+    exp.model_state = state
     config_lib.ensure_dir(p["ckpt_path"])
     exp.save_params(f'{p["ckpt_path"]}/{name}.npz',
                     mask=exp._trainable_mask())

@@ -224,41 +224,76 @@ def make_fused_epochs(mcfg, scfg_train, scfg_val, optimizer, base_key,
     return jax.jit(run_chunk) if jit else run_chunk
 
 
+class Selection:
+    """Incremental replica of the trainer's smooth-val / early-stop /
+    best-checkpoint bookkeeping (Experiment.train's finish_epoch), fed one
+    (epoch, val_ade) at a time — the grid runner trains runs in lockstep
+    and applies each run's selection as epochs stream out.
+
+    After step(e, v) returns True (early stop) or the series ends:
+    `best_epoch` is the reported label, `best_snap` the epoch whose
+    post-update snapshot was selected (None: keep final params),
+    `stopped` whether the early-stop predicate fired. live_snapshots()
+    lists every epoch index a future selection could still pick, so a
+    caller can discard the rest (bounded memory over long sweeps)."""
+
+    def __init__(self, *, smooth_val, window_size, fine_tune,
+                 n_early_stop):
+        self.smooth_val = bool(smooth_val)
+        self.window_size = int(window_size)
+        self.half_window = self.window_size // 2 + 1
+        self.fine_tune = bool(fine_tune)
+        self.n_early_stop = int(n_early_stop)
+        self.vals = []
+        self.best = float("inf")
+        self.best_epoch = 0
+        self.best_snap = None
+        self.snaps = collections.deque()
+        self.stopped = False
+
+    def step(self, e, val_ade):
+        self.vals.append(float(val_ade))
+        if self.smooth_val:
+            current = (self.snaps.popleft()
+                       if len(self.snaps) == self.half_window else None)
+            self.snaps.append(e)
+            if e < self.window_size:
+                sel = self.best + 1
+            else:
+                sel = (sum(self.vals[-self.window_size:])
+                       / self.window_size)
+        else:
+            current = e
+            sel = val_ade
+        if sel < self.best and current is not None:
+            self.best = sel
+            self.best_epoch = (e - self.half_window + 1 if self.smooth_val
+                               else e)
+            self.best_snap = current
+        if self.fine_tune and self.vals and \
+                self.best < min(self.vals[-self.n_early_stop:]):
+            self.stopped = True
+        return self.stopped
+
+    def live_snapshots(self):
+        live = set(self.snaps)
+        if self.best_snap is not None:
+            live.add(self.best_snap)
+        if self.vals:
+            live.add(len(self.vals) - 1)
+        return live
+
+
 def replay_selection(val_ades, *, smooth_val, window_size, fine_tune,
                      n_early_stop):
-    """Replay the trainer's smooth-val / early-stop bookkeeping over a
-    completed val-ADE series (the grid runner trains every epoch in
-    lockstep across runs, then applies per-run selection after the fact).
-
-    Mirrors Experiment.train's finish_epoch decisions exactly (same deque
-    lag, same window mean, same stop predicate). Returns
+    """Run Selection over a completed val-ADE series. Returns
     (stop_epoch, best_epoch, best_snapshot_epoch): `stop_epoch` is the
     last epoch that ran (inclusive), `best_epoch` the reported best label,
     `best_snapshot_epoch` the epoch whose post-update snapshot was
-    selected (None when no selection happened — keep the final params).
-    """
-    window_size = int(window_size)
-    half_window = window_size // 2 + 1
-    best = float("inf")
-    best_epoch = 0
-    best_snap = None
-    snaps = collections.deque()
+    selected (None when no selection happened — keep the final params)."""
+    sel = Selection(smooth_val=smooth_val, window_size=window_size,
+                    fine_tune=fine_tune, n_early_stop=n_early_stop)
     for e, v in enumerate(val_ades):
-        if smooth_val:
-            current = snaps.popleft() if len(snaps) == half_window else None
-            snaps.append(e)
-            if e < window_size:
-                sel = best + 1
-            else:
-                sel = sum(val_ades[e - window_size + 1:e + 1]) / window_size
-        else:
-            current = e
-            sel = v
-        if sel < best and current is not None:
-            best = sel
-            best_epoch = e - half_window + 1 if smooth_val else e
-            best_snap = current
-        if fine_tune and best < min(
-                val_ades[max(0, e - n_early_stop + 1):e + 1]):
-            return e, best_epoch, best_snap
-    return len(val_ades) - 1, best_epoch, best_snap
+        if sel.step(e, v):
+            return e, sel.best_epoch, sel.best_snap
+    return len(val_ades) - 1, sel.best_epoch, sel.best_snap

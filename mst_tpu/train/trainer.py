@@ -321,8 +321,18 @@ class Experiment:
             self.mcfg, self._step_config(), self._step_config(
                 for_validation=True), optimizer, self._key,
             train_data, val_data)
-        return runner, fused_lib.chunk_size(
-            self.params.get("save_every_n", 10)), None
+        chunk = fused_lib.chunk_size(self.params.get("save_every_n", 10))
+        if chunk < min(int(self.params.get("save_every_n", 10)),
+                       fused_lib.MAX_CHUNK) and chunk <= 2:
+            # periodic saves need the optimizer state, which only
+            # materializes at chunk ends, so chunks must divide
+            # save_every_n — a divisor-free value (e.g. a prime > 32)
+            # degrades to per-epoch programs and forfeits the fusion win
+            print(f"--fused: save_every_n="
+                  f"{self.params.get('save_every_n')} has no divisor <= "
+                  f"{fused_lib.MAX_CHUNK}; running {chunk}-epoch chunks — "
+                  f"pick a rounder save_every_n to fuse more epochs")
+        return runner, chunk, None
 
     # -- train (reference trainer.py:80-293) --------------------------------
     def _setup_training(self, df_train, df_val, train_image_path,
@@ -561,8 +571,12 @@ class Experiment:
                     jax.numpy.arange(e, e + c, dtype=jax.numpy.int32))
                 ys = jax.device_get(ys)  # ONE host sync per chunk
                 for j in range(c):
-                    snapshot = jax.tree.map(lambda a: a[j], ys["snapshot"])
-                    st_j = jax.tree.map(lambda a: a[j],
+                    # np.array COPIES the per-epoch slice: a view would pin
+                    # the whole (chunk, ...) buffer alive for as long as
+                    # the smooth-val deque / best_snapshot holds it
+                    snapshot = jax.tree.map(lambda a: np.array(a[j]),
+                                            ys["snapshot"])
+                    st_j = jax.tree.map(lambda a: np.array(a[j]),
                                         ys["state_snapshot"])
                     self.model_params = freeze_lib.merge_params(snapshot,
                                                                 frozen)

@@ -101,3 +101,23 @@ def test_grid_matches_individual_runs(sandbox, tmp_path):
     assert len(logs) == len(SEEDS)
     assert re.search(r"Epoch 1: \tTrain \(Top-1\) ADE",
                      logs[0].read_text())
+
+
+def test_grid_rejects_seed_specific_frozen_base(sandbox, tmp_path):
+    """Without a full pretrained ckpt each seed random-inits its own
+    frozen base; sharing run 0's would silently corrupt runs 2+ — the
+    grid must refuse."""
+    args = [a for a in COMMON if a != "--pretrained_ckpt"
+            and a != "ckpts/sdd__ynet__ped.npz"]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = scripts_e2e.REPO_ROOT + os.pathsep + env.get(
+        "PYTHONPATH", "")
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mst_tpu.grid", *args,
+         "--ckpt_path", str(tmp_path / "ck"),
+         "--seeds", "1", "2", "--lrs", "0.003"],
+        cwd=str(sandbox), env=env, timeout=900, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    assert proc.returncode != 0
+    assert "frozen" in proc.stdout
