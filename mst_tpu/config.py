@@ -63,6 +63,10 @@ def get_parser(is_train: bool) -> argparse.ArgumentParser:
                         help="mesh axis names for --mesh_shape; 'data space' spatially partitions the scene maps' H dimension over the second axis (conv halo exchanges via GSPMD) for scenes too large for one chip's HBM, e.g. --mesh_shape 2 4 --mesh_axes data space")
     parser.add_argument("--compute_dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--metrics_jsonl", default=None, type=str,
+                        help="write structured per-epoch train/val metrics"
+                             " as JSON lines to this path (alongside the"
+                             " reference-compatible stdout)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize the train forward (jax.checkpoint): recompute encoder/decoder activations in the backward instead of holding them in HBM — for big-scene/big-batch training, pairs with --mesh_axes data space")
     if is_train:
@@ -117,6 +121,7 @@ _DEFAULTS = dict(
     mesh_shape=None, mesh_axes=None, remat=False,
     segmentation_model_fp=None, eval_k_chunk=0,
     cross_scene_batching=False, max_scenes_per_batch=8, fused=False,
+    metrics_jsonl=None,
 )
 
 
