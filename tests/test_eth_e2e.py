@@ -104,6 +104,31 @@ def test_eth_train_and_test_end_to_end(tmp_path, eth_world):
         exp._homography_for("uni_examples_rot90"), H2)
 
 
+def test_eth_fused_matches_loop(tmp_path, eth_world):
+    """--fused stacks per-batch homographies; world-coord validation in
+    the scanned program must match the loop path."""
+    import jax
+
+    root, image_path, df = eth_world
+    df_train, df_val, df_test = _split(df)
+    outs = []
+    for tag, fused in (("loop", False), ("fused", True)):
+        params = make_params(root, tmp_path / tag, fused=fused, n_epoch=2)
+        exp = Experiment(params)
+        va, vf = exp.train(df_train, df_val, image_path, image_path,
+                           f"eth_{tag}")
+        outs.append((np.asarray(va), np.asarray(vf),
+                     jax.device_get(exp.model_params)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=5e-4,
+                               atol=5e-4)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=5e-4,
+                               atol=5e-4)
+    for a, b in zip(jax.tree.leaves(outs[0][2]),
+                    jax.tree.leaves(outs[1][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_eth_metrics_scale_with_homography(tmp_path, eth_world):
     """Doubling the world scale doubles the reported metrics — the eval
     really measures in homography-transformed world coordinates

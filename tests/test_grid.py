@@ -103,6 +103,28 @@ def test_grid_matches_individual_runs(sandbox, tmp_path):
                      logs[0].read_text())
 
 
+def test_grid_mesh_sharded_runs_match(sandbox, tmp_path):
+    """The run axis sharded over a 2-device mesh (zero collectives) gives
+    the same per-run metrics as the unsharded grid."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = scripts_e2e.REPO_ROOT + os.pathsep + env.get(
+        "PYTHONPATH", "")
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    outs = []
+    for tag, mesh in (("nomesh", []), ("mesh", ["--mesh_shape", "2"])):
+        proc = subprocess.run(
+            [sys.executable, "-m", "mst_tpu.grid", *COMMON,
+             "--ckpt_path", str(tmp_path / tag),
+             "--seeds", "1", "2", "--lrs", "0.003", *mesh],
+            cwd=str(sandbox), env=env, timeout=1500,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        assert proc.returncode == 0, proc.stdout[-3000:]
+        outs.append(np.asarray(_AVG.findall(proc.stdout), np.float64))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-3, atol=1e-3)
+
+
 def test_grid_rejects_seed_specific_frozen_base(sandbox, tmp_path):
     """Without a full pretrained ckpt each seed random-inits its own
     frozen base; sharing run 0's would silently corrupt runs 2+ — the
