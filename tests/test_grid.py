@@ -125,6 +125,39 @@ def test_grid_mesh_sharded_runs_match(sandbox, tmp_path):
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-3, atol=1e-3)
 
 
+def test_grid_memory_split_resumes_mid_sweep(sandbox, tmp_path):
+    """A run group whose program exhausts device memory splits in half and
+    resumes from the epoch it reached — metrics and saved checkpoints must
+    match the unsplit sweep. (MST_GRID_FORCE_OOM_ABOVE fakes the OOM after
+    one chunk; MST_GRID_CHUNK_CAP=1 forces a mid-sweep boundary.)"""
+    outs, ckpts = [], []
+    for tag, extra_env in (("plain", {}),
+                           ("split", {"MST_GRID_FORCE_OOM_ABOVE": "1",
+                                      "MST_GRID_CHUNK_CAP": "1"})):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = scripts_e2e.REPO_ROOT + os.pathsep + env.get(
+            "PYTHONPATH", "")
+        env.setdefault("JAX_PLATFORMS", "cpu")
+        env.update(extra_env)
+        proc = subprocess.run(
+            [sys.executable, "-m", "mst_tpu.grid", *COMMON,
+             "--ckpt_path", str(tmp_path / tag),
+             "--seeds", "1", "2", "--lrs", "0.003"],
+            cwd=str(sandbox), env=env, timeout=1500,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        assert proc.returncode == 0, proc.stdout[-3000:]
+        if tag == "split":
+            assert "splitting the group" in proc.stdout
+        outs.append(np.asarray(_AVG.findall(proc.stdout), np.float64))
+        ckpts.append(_load_ckpts(tmp_path / tag))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-3, atol=1e-3)
+    assert set(ckpts[0]) == set(ckpts[1]) and len(ckpts[0]) == 2
+    for name in ckpts[0]:
+        for k, v in ckpts[0][name].items():
+            np.testing.assert_allclose(v, ckpts[1][name][k], rtol=1e-5,
+                                       atol=1e-6, err_msg=f"{name}:{k}")
+
+
 def test_grid_rejects_seed_specific_frozen_base(sandbox, tmp_path):
     """Without a full pretrained ckpt each seed random-inits its own
     frozen base; sharing run 0's would silently corrupt runs 2+ — the
