@@ -32,12 +32,21 @@ def group_paths(flat_params, depth):
 
 
 def swap_importance(model, df_test, image_path, pretrained_flat, tuned_flat,
-                    depth=1, direction="tuned_to_pretrained", seed=1):
+                    depth=1, direction="tuned_to_pretrained", seed=1,
+                    per_traj_dir=None, tag="FT"):
     """Evaluate the model once per swapped parameter group.
 
     Returns a DataFrame [group, n_param, ade, fde] plus baseline rows
     'none' (tuned as-is) and 'all' (fully swapped).
+
+    per_traj_dir writes the per-trajectory csv tree the reference's
+    analyze_importance runs produced (utils/write_files.py naming):
+    `{tag}__N{n}.csv` for the tuned baseline, `OODG__N{n}.csv` for the
+    fully-swapped (pretrained) one, `{tag}__N{n}__{group}.csv` per swap —
+    the input format of visualization.plot_importance_analysis.
     """
+    import pathlib
+
     from mst_tpu.train.checkpoints import overlay_checkpoint
 
     rows = []
@@ -45,13 +54,24 @@ def swap_importance(model, df_test, image_path, pretrained_flat, tuned_flat,
     # checkpoints (the segmentation backbone, which converted/released
     # checkpoints exclude) survive every swap instead of being dropped
     template = model.model_params
+    n_test = int(df_test.metaId.nunique())
+    base_name, all_name = ((tag, "OODG")
+                           if direction == "tuned_to_pretrained"
+                           else ("OODG", tag))
 
     def run(flat, name, swapped_paths):
         model.model_params = overlay_checkpoint(template, dict(flat))
         set_random_seeds(seed)
-        ade, fde, _, _ = model.test(df_test, image_path)
+        ade, fde, dfs, _ = model.test(df_test, image_path)
         n = sum(int(np.asarray(flat[p]).size) for p in swapped_paths)
         rows.append({"group": name, "n_param": n, "ade": ade, "fde": fde})
+        if per_traj_dir is not None:
+            fname = {"none": f"{base_name}__N{n_test}.csv",
+                     "all": f"{all_name}__N{n_test}.csv"}.get(
+                name, f"{tag}__N{n_test}__{name.replace('/', '.')}.csv")
+            pathlib.Path(per_traj_dir).mkdir(parents=True, exist_ok=True)
+            pd.concat(dfs, ignore_index=True).to_csv(
+                pathlib.Path(per_traj_dir) / fname, index=False)
 
     base = dict(tuned_flat if direction == "tuned_to_pretrained"
                 else pretrained_flat)
@@ -113,6 +133,12 @@ def main():
     parser.add_argument("--depth", default=1, type=int)
     parser.add_argument("--max_combo", default=1, type=int)
     parser.add_argument("--out_csv", default="csv/importance.csv")
+    parser.add_argument("--per_traj_dir", default=None,
+                        help="also write the reference-format "
+                             "per-trajectory csv tree here (input of "
+                             "visualization.plot_importance_analysis)")
+    parser.add_argument("--tag", default="FT",
+                        help="tuned-model tag in the csv tree (FT/ET)")
     args = parser.parse_args()
 
     set_random_seeds(args.seed)
@@ -129,7 +155,8 @@ def main():
         pretrained = load_checkpoint(args.pretrained_ckpt)
         tuned = flatten_tree(model.model_params)
         df = swap_importance(model, df_test, image_path, pretrained, tuned,
-                             depth=args.depth, seed=args.seed)
+                             depth=args.depth, seed=args.seed,
+                             per_traj_dir=args.per_traj_dir, tag=args.tag)
     else:
         df = lora_importance(model, df_test, image_path,
                              max_combo=args.max_combo, seed=args.seed)

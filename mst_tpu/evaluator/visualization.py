@@ -792,3 +792,201 @@ def plot_goal_output(ckpts_hook_dict, index, df_test, images, resize_factor,
                 plt.close(fig)
                 paths.append(out_path)
     return paths
+
+
+def plot_given_trajectories_scenes_overlay(
+        images, df, out_dir="figures/scene_with_trajs_given", fmt="png",
+        label_colors=None):
+    """Per-scene overlays of a given DataFrame's trajectories, colored by
+    agent label (reference plot_given_trajectories_scenes_overlay,
+    visualization.py:933-965). `images`: {sceneId: HWC image}; `df` needs
+    x/y/metaId/sceneId and (optionally) label columns."""
+    label_colors = label_colors or {"Pedestrian": "b", "Biker": "r"}
+    paths = []
+    for scene_id in df.sceneId.unique():
+        img = np.asarray(images[scene_id])
+        d = df[df.sceneId == scene_id]
+        fig, ax = plt.subplots(
+            figsize=(max(img.shape[1] / 100, 4), max(img.shape[0] / 100, 4)))
+        ax.imshow(img[..., ::-1] if img.ndim == 3 and img.dtype == np.uint8
+                  else img, cmap=None if img.ndim == 3 else "gray")
+        labels = (d.label.unique() if "label" in d.columns else ["all"])
+        for i, label in enumerate(labels):
+            dl = d[d.label == label] if "label" in d.columns else d
+            c = label_colors.get(label, f"C{i}")
+            for _, traj in dl.groupby("metaId"):
+                ax.plot(traj.x, traj.y, ".-", c=c, ms=4, alpha=0.4)
+            ax.plot([], [], ".-", c=c, alpha=0.5, label=str(label))
+        ax.set_title(f"scene: {scene_id}")
+        ax.legend(loc="best")
+        paths.append(_save(fig, out_dir, str(scene_id), fmt))
+    return paths
+
+
+def plot_prediction(images, ckpt_trajs_dict,
+                    out_dir="figures/prediction", fmt="png", obs_len=8):
+    """Per-agent figures overlaying each checkpoint's best predicted
+    trajectory on the scene (reference plot_prediction,
+    visualization.py:1004-1039). `images`: {sceneId: HWC image};
+    `ckpt_trajs_dict`: {ckpt_name: {metaId, sceneId, groundtruth,
+    prediction}} — the payload `Experiment.test(return_preds=True)`
+    collects (trajectories in raw pixels)."""
+    first = ckpt_trajs_dict[next(iter(ckpt_trajs_dict))]
+    paths = []
+    for i, meta_id in enumerate(np.asarray(first["metaId"]).reshape(-1)):
+        scene_id = np.asarray(first["sceneId"]).reshape(-1)[i] \
+            if "sceneId" in first else next(iter(images))
+        img = np.asarray(images[scene_id])
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.imshow(img[..., ::-1] if img.ndim == 3 and img.dtype == np.uint8
+                  else img, cmap=None if img.ndim == 3 else "gray")
+        for j, (ckpt_name, trajs) in enumerate(ckpt_trajs_dict.items()):
+            gt = np.asarray(trajs["groundtruth"][i])
+            pred = np.asarray(trajs["prediction"][i])
+            if j == 0:
+                ax.plot(gt[:obs_len, 0], gt[:obs_len, 1], ".-", ms=4,
+                        c="black")
+                ax.plot(gt[obs_len - 1:, 0], gt[obs_len - 1:, 1], ".-",
+                        ms=4, c="black", label="groundtruth")
+            # connect the last observed point to the first predicted one
+            px = np.insert(pred[:, 0], 0, gt[obs_len - 1, 0])
+            py = np.insert(pred[:, 1], 0, gt[obs_len - 1, 1])
+            ax.plot(px, py, ".-", ms=4, label=str(ckpt_name))
+        ax.set_title(f"meta_id={meta_id}, scene_id={scene_id}")
+        ax.legend(loc="best")
+        paths.append(_save(fig, out_dir, f"{meta_id}__{scene_id}", fmt))
+    return paths
+
+
+def plot_per_importance_analysis(
+        tuned_name, df, n_test, scene_id, depth, oodg_stats, tuned_stats,
+        out_dir="figures/importance_analysis", fmt="png",
+        plot_err_bar=False):
+    """One importance-ablation bar figure per metric (reference
+    plot_per_importance_analysis, visualization.py:1386-1459): per-layer
+    ADE/FDE improvement over the pretrained baseline, with the tuned
+    model's total improvement as a dashed line. depth -1 plots weight vs
+    bias side by side; depth 1/2 plot one bar per layer group. `df` is
+    indexed by layer with ade_diff/fde_diff (+_std) columns."""
+    import pandas as pd
+
+    ade_oodg, fde_oodg = oodg_stats[0], oodg_stats[1]
+    ade_tuned, fde_tuned = tuned_stats[0], tuned_stats[1]
+    diff = {"ade_diff": ade_oodg - ade_tuned, "fde_diff": fde_oodg - fde_tuned}
+    paths = []
+    for metric in ("ade_diff", "fde_diff"):
+        width = max(df.shape[0] * 0.25 + 3, 4)
+        if depth == -1:
+            # weights and biases of the same layer as paired bars
+            mask_w = df.index.str.contains("weight")
+            mask_b = df.index.str.contains("bias")
+            index = [n.replace(".weight", "").replace("__weight", "")
+                     for n in df.index[mask_w]]
+            data = pd.DataFrame(index=index)
+            data["weight"] = df.loc[mask_w, metric].values
+            if mask_b.sum() == mask_w.sum():
+                data["bias"] = df.loc[mask_b, metric].values
+            err = None
+            if plot_err_bar and metric + "_std" in df.columns:
+                err = pd.DataFrame(index=index)
+                err["weight"] = df.loc[mask_w, metric + "_std"].values
+                if "bias" in data.columns:
+                    err["bias"] = df.loc[mask_b, metric + "_std"].values
+            ax = data.plot(
+                kind="bar", color={"weight": "tab:blue",
+                                   "bias": "lightsteelblue"},
+                figsize=(width / 1.7, 4), yerr=err, xlabel="Layers",
+                ylabel=metric,
+                title="Importance analysis"
+                      + (f" ({scene_id})" if scene_id else ""))
+        elif depth in (1, 2):
+            d = df.sort_index()
+            err = (d[[metric + "_std"]].rename(
+                       columns={metric + "_std": metric})
+                   if plot_err_bar and metric + "_std" in d.columns
+                   else None)
+            ax = d[[metric]].plot(
+                kind="bar", yerr=err, figsize=(width / 1.3, 4),
+                xlabel="Layers", ylabel=metric,
+                title="Importance analysis"
+                      + (f" ({scene_id})" if scene_id else ""))
+        else:
+            raise ValueError(f"No support for depth={depth}")
+        ax.axhline(y=diff[metric], color="tab:red", linestyle="--",
+                   linewidth=1, alpha=0.5,
+                   label=f"diff_OODG_{tuned_name}")
+        plt.xticks(rotation=45, ha="right")
+        ax.legend(loc="upper right")
+        name = f"{tuned_name}_{metric}__N{n_test}"
+        if scene_id:
+            name += f"__{scene_id}"
+        if plot_err_bar:
+            name += "__err"
+        paths.append(_save(ax.get_figure(), out_dir, name, fmt))
+    return paths
+
+
+def plot_importance_analysis(in_dir, out_dir="figures/importance_analysis",
+                             fmt="png", n_test=500, depth=-1,
+                             tuned_names=("FT", "ET")):
+    """Read an importance-run csv tree and produce the per-layer and
+    per-scene ablation figures (reference plot_importance_analysis,
+    visualization.py:1461-1547). Expects per-trajectory csvs named
+    `OODG__N{n}.csv` (pretrained), `{FT|ET}__N{n}.csv` (tuned) and
+    `{FT|ET}__N{n}__{layer}.csv` (tuned with one layer swapped back), each
+    with ade/fde (+sceneId) columns — what
+    `python -m mst_tpu.evaluator.importance --per_traj_dir` writes and
+    what the reference's analyze_importance runs produced."""
+    import glob as globlib
+
+    import pandas as pd
+
+    df_oodg = pd.read_csv(os.path.join(in_dir, f"OODG__N{n_test}.csv"))
+    oodg = (df_oodg.ade.mean(), df_oodg.fde.mean(),
+            df_oodg.ade.std(), df_oodg.fde.std())
+    paths = []
+    for tuned_name in tuned_names:
+        base_csv = os.path.join(in_dir, f"{tuned_name}__N{n_test}.csv")
+        if not os.path.exists(base_csv):
+            continue
+        df_tuned = pd.read_csv(base_csv)
+        tuned = (df_tuned.ade.mean(), df_tuned.fde.mean(),
+                 df_tuned.ade.std(), df_tuned.fde.std())
+        rows, samples = [], []
+        for f in sorted(globlib.glob(
+                os.path.join(in_dir, f"{tuned_name}__N{n_test}__*.csv"))):
+            layer = os.path.basename(f).split("__")[-1].replace(".csv", "")
+            d = pd.read_csv(f)
+            d["layer"] = layer
+            d["ade_diff"] = df_oodg.ade.values - d.ade.values
+            d["fde_diff"] = df_oodg.fde.values - d.fde.values
+            rows.append({"layer": layer,
+                         "ade_diff": d.ade_diff.mean(),
+                         "fde_diff": d.fde_diff.mean(),
+                         "ade_diff_std": d.ade_diff.std(),
+                         "fde_diff_std": d.fde_diff.std()})
+            samples.append(d)
+        if not rows:
+            continue
+        df_avg = pd.DataFrame(rows).sort_values("layer").set_index("layer")
+        for err in (False, True):
+            paths += plot_per_importance_analysis(
+                tuned_name, df_avg, n_test, None, depth, oodg, tuned,
+                out_dir, fmt, plot_err_bar=err)
+        df_all = pd.concat(samples, ignore_index=True)
+        if "sceneId" in df_all.columns:
+            g = df_all.groupby(["sceneId", "layer"])[
+                ["ade_diff", "fde_diff"]].agg(["mean", "std"])
+            for scene_id in g.index.get_level_values(0).unique():
+                d = pd.DataFrame({
+                    "ade_diff": g.loc[scene_id][("ade_diff", "mean")],
+                    "fde_diff": g.loc[scene_id][("fde_diff", "mean")],
+                    "ade_diff_std": g.loc[scene_id][("ade_diff", "std")],
+                    "fde_diff_std": g.loc[scene_id][("fde_diff", "std")],
+                }).sort_index()
+                for err in (False, True):
+                    paths += plot_per_importance_analysis(
+                        tuned_name, d, n_test, scene_id, depth, oodg,
+                        tuned, os.path.join(out_dir, "scenes"), fmt,
+                        plot_err_bar=err)
+    return paths

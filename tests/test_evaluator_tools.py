@@ -517,3 +517,65 @@ def test_activations_cli_goal_output(tmp_path, monkeypatch):
     act_cli.main()
     figs = glob.glob(str(out_dir / "**" / "*diff_single*"), recursive=True)
     assert figs, "no goal_output figures written"
+
+
+def test_importance_csv_tree_and_analysis_plots(setup, tmp_path):
+    """--per_traj_dir writes the reference-format per-trajectory csv tree
+    (OODG/FT/FT__layer), and plot_importance_analysis turns it into the
+    per-layer + per-scene ablation figures."""
+    from mst_tpu.evaluator import visualization as viz
+    from mst_tpu.evaluator.importance import swap_importance
+    from mst_tpu.train.checkpoints import flatten_tree
+
+    tmp, df, images, base_path, delta_path, ft_params = setup
+    model = Experiment(dict(ft_params, n_round=1), images=images)
+    model.load_separated_params(base_path, delta_path)
+    tuned = flatten_tree(model.model_params)
+    pretrained = dict(tuned)
+    for k in pretrained:
+        if "lora" in k:
+            pretrained[k] = np.zeros_like(pretrained[k])
+    tree_dir = tmp_path / "csv_tree"
+    swap_importance(model, df, None, pretrained, tuned, depth=1,
+                    per_traj_dir=str(tree_dir), tag="FT")
+    n = df.metaId.nunique()
+    files = sorted(f.name for f in tree_dir.glob("*.csv"))
+    assert f"FT__N{n}.csv" in files and f"OODG__N{n}.csv" in files
+    assert any(f.startswith(f"FT__N{n}__") for f in files)
+    d = pd.read_csv(tree_dir / f"FT__N{n}.csv")
+    assert {"metaId", "sceneId", "ade", "fde"} <= set(d.columns)
+
+    paths = viz.plot_importance_analysis(str(tree_dir),
+                                         out_dir=str(tmp_path / "figs"),
+                                         n_test=n, depth=1)
+    assert paths and all(os.path.exists(p) for p in paths)
+    # the tree carries sceneId, so per-scene breakdowns are produced too
+    assert any(os.sep + "scenes" + os.sep in p for p in paths)
+
+
+def test_overlay_and_prediction_plot_drivers(tmp_path, rng):
+    """plot_given_trajectories_scenes_overlay (label-colored per-scene
+    batch) and plot_prediction (per-agent multi-checkpoint overlay)."""
+    from mst_tpu.evaluator import visualization as viz
+
+    images = {"s0": rng.uniform(size=(64, 80, 3)).astype(np.float32)}
+    df = pd.DataFrame({
+        "x": rng.uniform(0, 80, 40), "y": rng.uniform(0, 64, 40),
+        "metaId": np.repeat(np.arange(4), 10),
+        "sceneId": "s0",
+        "label": np.repeat(["Pedestrian", "Biker"], 20),
+    })
+    p1 = viz.plot_given_trajectories_scenes_overlay(
+        images, df, out_dir=str(tmp_path / "ov"))
+    assert len(p1) == 1 and os.path.exists(p1[0])
+
+    obs_len, pred_len = 4, 8
+    gt = rng.uniform(0, 60, size=(2, obs_len + pred_len, 2))
+    trajs = {name: {
+        "metaId": np.array([7, 9]), "sceneId": np.array(["s0", "s0"]),
+        "groundtruth": gt,
+        "prediction": gt[:, obs_len:] + i,
+    } for i, name in enumerate(["OODG", "FT"])}
+    p2 = viz.plot_prediction(images, trajs, out_dir=str(tmp_path / "pred"),
+                             obs_len=obs_len)
+    assert len(p2) == 2 and all(os.path.exists(p) for p in p2)
