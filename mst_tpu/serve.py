@@ -352,7 +352,28 @@ def _main():
                          "request-dedup caches can't flatter the numbers) "
                          "and print p50/p95/mean ms + trajectories/sec")
 
+    sv = sub.add_parser(
+        "serve", help="HTTP daemon with continuous request batching "
+                      "(mst_tpu/serve_http.py)")
+    sv.add_argument("--model_dir", required=True)
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--styles", nargs="+", default=[],
+                    metavar="NAME=DELTA")
+    sv.add_argument("--scene", nargs="+", default=[], metavar="NAME=NPY",
+                    help="scenes to register: npy files holding the "
+                         "preprocessed (1, H, W, C) semantic map")
+    sv.add_argument("--max_wait_ms", type=float, default=5.0,
+                    help="how long the batcher waits to fill a batch")
+
     args = parser.parse_args()
+    if args.command == "serve":
+        from mst_tpu.serve_http import run_server
+
+        run_server(args.model_dir, port=args.port, host=args.host,
+                   styles=args.styles, scenes=args.scene,
+                   max_wait_ms=args.max_wait_ms)
+        return
     if args.command == "export":
         from mst_tpu import config as config_lib
         from mst_tpu.train.trainer import restore_model

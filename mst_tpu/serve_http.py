@@ -1,0 +1,284 @@
+"""HTTP serving daemon around serve.LoadedModel with continuous batching.
+
+The reference has no serving story (its only inference surface,
+test.py -> evaluate, needs ground-truth futures); serve.py gives this
+framework exported StableHLO artifacts and an in-process predict. This
+module is the deployment front: a dependency-free (stdlib http.server)
+daemon that
+
+- keeps the exported programs + base params + N style overlays resident
+  on device (one compiled program serves every motion style),
+- **batches concurrent requests**: the exported forward has a fixed batch
+  size B, so a dispatcher thread collects up to B agent rows from the
+  request queue (grouped by (scene, style, seed) — rows in a batch are
+  independent through the convs, so co-batching changes nothing row-wise)
+  or waits at most --max_wait_ms, pads the remainder by repeating the
+  first row, runs ONE device dispatch, and fans per-row results back out,
+- serves scenes registered at startup (--scene name=path.npy holding the
+  preprocessed (1, H, W, C) semantic map) or uploaded via PUT /scenes.
+
+Endpoints (JSON):
+  GET  /healthz            -> {ok, batch_size, obs_len, pred_len, styles,
+                               scenes}
+  GET  /styles             -> {styles: [...]}
+  POST /styles/<name>      {"delta_path": server-side npz} -> {ok}
+  PUT  /scenes/<name>      {"semantic": nested list (1,H,W,C)} -> {ok}
+  POST /predict            {"scene": name, "observed": (obs_len, 2) or
+                            (n, obs_len, 2), "style": name|null,
+                            "seed": int} ->
+                           {"trajectories": (n, K, pred_len, 2),
+                            "waypoints": (n, K, n_wp, 2)}  (raw px)
+
+Usage:
+  python -m mst_tpu.serve serve --model_dir M --port 8000 \
+      --styles biker=ckpts/delta.npz --scene death=death.npy
+"""
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class _Pending:
+    """One request's rows awaiting a batch slot."""
+
+    def __init__(self, rows):
+        self.rows = rows                    # (n, obs_len, 2) float32
+        self.event = threading.Event()
+        self.result = None                  # {"trajectories", "waypoints"}
+        self.error = None
+
+
+class Batcher:
+    """Collects pending rows into fixed-B device dispatches.
+
+    Rows only co-batch within one (scene, style, seed) group: the model is
+    row-independent through the convs, but the sampling key is shared per
+    dispatch, so the group key keeps a request's samples reproducible for
+    a given arrival order.
+    """
+
+    def __init__(self, model, scenes, max_wait_ms=5.0):
+        self.model = model
+        self.scenes = scenes               # {name: (1, H, W, C) float32}
+        self.B = int(model.manifest["observed_shape"][0])
+        self.max_wait = max_wait_ms / 1e3
+        self.q = queue.Queue()
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, scene, style, seed, rows):
+        p = _Pending(rows)
+        self.q.put(((scene, style, int(seed)), p))
+        return p
+
+    def stop(self):
+        self._stop.set()
+        self.q.put(None)
+        self.thread.join(timeout=5)
+
+    # -- dispatcher thread ---------------------------------------------------
+
+    def _loop(self):
+        import jax
+
+        while not self._stop.is_set():
+            item = self.q.get()
+            if item is None:
+                continue
+            key0, group = item[0], [item[1]]
+            n_rows = len(item[1].rows)
+            # top up the batch from same-group requests, waiting at most
+            # max_wait for stragglers; foreign-group requests go back
+            deadline = None
+            stash = []
+            while n_rows < self.B:
+                try:
+                    timeout = self.max_wait if deadline is None else \
+                        max(deadline - _now(), 0)
+                    nxt = self.q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                if deadline is None:
+                    deadline = _now() + self.max_wait
+                if nxt[0] == key0 and n_rows + len(nxt[1].rows) <= self.B:
+                    group.append(nxt[1])
+                    n_rows += len(nxt[1].rows)
+                else:
+                    stash.append(nxt)
+            for s in stash:
+                self.q.put(s)
+            self._dispatch(key0, group, jax)
+
+    def _dispatch(self, key0, group, jax):
+        scene_name, style, seed = key0
+        try:
+            rows = np.concatenate([p.rows for p in group])  # (n, obs, 2)
+            n = rows.shape[0]
+            if n < self.B:  # fixed-shape program: pad by repeating row 0
+                pad = np.repeat(rows[:1], self.B - n, axis=0)
+                rows = np.concatenate([rows, pad])
+            out = self.model.predict(self.scenes[scene_name], rows,
+                                     key=jax.random.PRNGKey(seed),
+                                     style=style)
+            # (K, B, T, 2) -> per-request (n_i, K, T, 2)
+            trajs = np.moveaxis(out["trajectories"], 1, 0)
+            wps = np.moveaxis(out["waypoints"], 1, 0)
+            i = 0
+            for p in group:
+                k = len(p.rows)
+                p.result = {"trajectories": trajs[i:i + k],
+                            "waypoints": wps[i:i + k]}
+                i += k
+        except Exception as ex:  # noqa: BLE001 — reported to the caller
+            for p in group:
+                p.error = str(ex)
+        finally:
+            for p in group:
+                p.event.set()
+
+
+def _now():
+    import time
+
+    return time.monotonic()
+
+
+def make_handler(server_state):
+    model = server_state["model"]
+    scenes = server_state["scenes"]
+    batcher = server_state["batcher"]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet; the CLI prints startup
+            pass
+
+        def _json(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                m = model.manifest
+                self._json(200, {
+                    "ok": True, "batch_size": m["observed_shape"][0],
+                    "obs_len": m["obs_len"], "pred_len": m["pred_len"],
+                    "n_goal": m.get("n_goal"),
+                    "styles": model.styles, "scenes": sorted(scenes)})
+            elif self.path == "/styles":
+                self._json(200, {"styles": model.styles})
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_PUT(self):
+            if self.path.startswith("/scenes/"):
+                name = self.path.split("/", 2)[2]
+                try:
+                    sem = np.asarray(self._body()["semantic"], np.float32)
+                    if sem.ndim != 4 or sem.shape[0] != 1:
+                        raise ValueError(
+                            f"semantic must be (1, H, W, C), got "
+                            f"{sem.shape}")
+                    scenes[name] = sem
+                    self._json(200, {"ok": True, "scene": name,
+                                     "shape": list(sem.shape)})
+                except Exception as ex:  # noqa: BLE001
+                    self._json(400, {"error": str(ex)})
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path.startswith("/styles/"):
+                name = self.path.split("/", 2)[2]
+                try:
+                    model.add_style(name, self._body()["delta_path"])
+                    self._json(200, {"ok": True, "styles": model.styles})
+                except Exception as ex:  # noqa: BLE001
+                    self._json(400, {"error": str(ex)})
+                return
+            if self.path != "/predict":
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                req = self._body()
+                scene = req.get("scene") or next(iter(sorted(scenes)))
+                if scene not in scenes:
+                    raise ValueError(f"unknown scene '{scene}'; "
+                                     f"registered: {sorted(scenes)}")
+                rows = np.asarray(req["observed"], np.float32)
+                if rows.ndim == 2:
+                    rows = rows[None]
+                m = model.manifest
+                if rows.ndim != 3 or rows.shape[1] != m["obs_len"] \
+                        or rows.shape[2] != 2:
+                    raise ValueError(
+                        f"observed must be (n, {m['obs_len']}, 2), got "
+                        f"{rows.shape}")
+                if rows.shape[0] > m["observed_shape"][0]:
+                    raise ValueError(
+                        f"at most batch_size="
+                        f"{m['observed_shape'][0]} rows per request")
+                style = req.get("style")
+                if style is not None and style not in model.styles:
+                    raise ValueError(
+                        f"unknown style '{style}'; registered: "
+                        f"{model.styles}")
+            except Exception as ex:  # noqa: BLE001
+                self._json(400, {"error": str(ex)})
+                return
+            p = batcher.submit(scene, style, req.get("seed", 0), rows)
+            p.event.wait()
+            if p.error is not None:
+                self._json(500, {"error": p.error})
+            else:
+                self._json(200, {
+                    "trajectories": p.result["trajectories"].tolist(),
+                    "waypoints": p.result["waypoints"].tolist()})
+
+    return Handler
+
+
+def run_server(model_dir, port=8000, styles=(), scenes=(), max_wait_ms=5.0,
+               host="127.0.0.1", ready_event=None):
+    """Start the daemon (blocking). styles: ["name=delta.npz"]; scenes:
+    ["name=semantic.npy"] with the npy holding (1, H, W, C) float32.
+    Returns the server object via ready_event.server when a threading
+    caller (tests) needs shutdown control."""
+    from mst_tpu.serve import load_model
+
+    model = load_model(model_dir)
+    for spec in styles:
+        name, path = spec.split("=", 1)
+        model.add_style(name, path)
+    scene_dict = {}
+    for spec in scenes:
+        name, path = spec.split("=", 1)
+        scene_dict[name] = np.asarray(np.load(path), np.float32)
+    batcher = Batcher(model, scene_dict, max_wait_ms=max_wait_ms)
+    state = {"model": model, "scenes": scene_dict, "batcher": batcher}
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    print(f"[serve] listening on {host}:{httpd.server_address[1]} "
+          f"(B={batcher.B}, styles={model.styles}, "
+          f"scenes={sorted(scene_dict)})")
+    if ready_event is not None:
+        ready_event.server = httpd
+        ready_event.batcher = batcher
+        ready_event.set()
+    try:
+        httpd.serve_forever()
+    finally:
+        batcher.stop()

@@ -1,0 +1,163 @@
+"""HTTP serving daemon: continuous batching over the exported artifacts.
+
+The daemon's predictions must be the exported programs' own outputs —
+requests batched together or padded to the fixed B change nothing
+row-wise (convs are row-independent; the dispatch key is shared per
+(scene, style, seed) group by construction).
+"""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from mst_tpu import serve
+from mst_tpu.serve_http import Batcher, run_server
+from mst_tpu.train.trainer import Experiment
+
+from tests.test_serve import B, H, OBS_LEN, W, make_params
+
+
+@pytest.fixture(scope="module")
+def deployment(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve_http")
+    params = make_params(tmp, train_net="mosa_2",
+                         position=["0", "1", "2", "3", "4"])
+    base = Experiment(params)
+    serve.export_model(base, tmp / "m", H, W, B, platforms=("cpu",))
+    # a style delta (perturbed LoRA factors only)
+    tuned = Experiment(make_params(tmp, train_net="mosa_2",
+                                   position=["0", "1", "2", "3", "4"],
+                                   seed=7))
+    tuned.model_params = jax.tree.map(lambda x: x, base.model_params)
+    mask = tuned._trainable_mask()
+    tuned.model_params = jax.tree.map(
+        lambda x, m: x + 0.05 if m else x, tuned.model_params, mask)
+    delta_path = tmp / "style_biker.npz"
+    tuned.save_params(str(delta_path))
+
+    rng = np.random.default_rng(0)
+    semantic = rng.normal(size=(1, H, W, 3)).astype(np.float32)
+    np.save(tmp / "scene.npy", semantic)
+    return tmp, semantic, str(delta_path)
+
+
+def _request(port, path, payload=None, method=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server(deployment):
+    tmp, semantic, delta_path = deployment
+    ready = threading.Event()
+    t = threading.Thread(
+        target=run_server,
+        kwargs=dict(model_dir=str(tmp / "m"), port=0,
+                    scenes=[f"death={tmp / 'scene.npy'}"],
+                    max_wait_ms=200.0, ready_event=ready),
+        daemon=True)
+    t.start()
+    assert ready.wait(timeout=120)
+    port = ready.server.server_address[1]
+    yield port, ready
+    ready.server.shutdown()
+    ready.batcher.stop()
+
+
+def test_http_predict_matches_direct(server, deployment):
+    tmp, semantic, delta_path = deployment
+    port, _ = server
+
+    code, health = _request(port, "/healthz")
+    assert code == 200 and health["ok"] and health["batch_size"] == B
+    assert health["scenes"] == ["death"]
+
+    rng = np.random.default_rng(3)
+    rows = rng.uniform(10, 50, size=(B, OBS_LEN, 2)).astype(np.float32)
+    code, out = _request(port, "/predict", {
+        "scene": "death", "observed": rows.tolist(), "seed": 11})
+    assert code == 200, out
+    got = np.asarray(out["trajectories"])
+
+    direct = serve.load_model(tmp / "m").predict(
+        semantic, rows, key=jax.random.PRNGKey(11))
+    want = np.moveaxis(np.asarray(direct["trajectories"]), 1, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # input validation surfaces as 400s, not dispatcher deaths
+    assert _request(port, "/predict", {"scene": "nope",
+                                       "observed": rows.tolist()})[0] == 400
+    assert _request(port, "/predict", {"observed": [[0, 0]]})[0] == 400
+    assert _request(port, "/predict", {"observed": rows.tolist(),
+                                       "style": "ghost"})[0] == 400
+
+
+def test_http_style_registration_and_scene_upload(server, deployment):
+    tmp, semantic, delta_path = deployment
+    port, _ = server
+
+    code, out = _request(port, "/styles/biker", {"delta_path": delta_path})
+    assert code == 200 and out["styles"] == ["biker"], out
+
+    rng = np.random.default_rng(5)
+    rows = rng.uniform(10, 50, size=(B, OBS_LEN, 2)).astype(np.float32)
+    code, base_out = _request(port, "/predict", {
+        "scene": "death", "observed": rows.tolist(), "seed": 2})
+    code2, style_out = _request(port, "/predict", {
+        "scene": "death", "observed": rows.tolist(), "seed": 2,
+        "style": "biker"})
+    assert code == 200 and code2 == 200
+    assert not np.allclose(np.asarray(base_out["trajectories"]),
+                           np.asarray(style_out["trajectories"]))
+
+    # scene upload
+    sem2 = rng.normal(size=(1, H, W, 3)).astype(np.float32)
+    code, out = _request(port, "/scenes/upl", {"semantic": sem2.tolist()},
+                         method="PUT")
+    assert code == 200 and out["shape"] == [1, H, W, 3]
+    code, out = _request(port, "/predict", {
+        "scene": "upl", "observed": rows.tolist()})
+    assert code == 200
+    # bad shape rejected
+    code, _ = _request(port, "/scenes/bad", {"semantic": [[0.0]]},
+                       method="PUT")
+    assert code == 400
+
+
+def test_batcher_co_batches_and_pads(deployment):
+    """Two 1-row submissions in one (scene, style, seed) group dispatch as
+    ONE padded batch; each caller gets its own row, equal to the direct
+    predict of the padded batch."""
+    tmp, semantic, delta_path = deployment
+    model = serve.load_model(tmp / "m")
+    batcher = Batcher(model, {"s": semantic}, max_wait_ms=500.0)
+    try:
+        rng = np.random.default_rng(9)
+        r1 = rng.uniform(10, 50, size=(1, OBS_LEN, 2)).astype(np.float32)
+        r2 = rng.uniform(10, 50, size=(1, OBS_LEN, 2)).astype(np.float32)
+        p1 = batcher.submit("s", None, 4, r1)
+        p2 = batcher.submit("s", None, 4, r2)
+        assert p1.event.wait(timeout=120) and p2.event.wait(timeout=120)
+        assert p1.error is None and p2.error is None, (p1.error, p2.error)
+
+        padded = np.concatenate([r1, r2] + [r1] * (B - 2))
+        direct = model.predict(semantic, padded, key=jax.random.PRNGKey(4))
+        want = np.moveaxis(np.asarray(direct["trajectories"]), 1, 0)
+        np.testing.assert_allclose(p1.result["trajectories"], want[0:1],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(p2.result["trajectories"], want[1:2],
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        batcher.stop()
