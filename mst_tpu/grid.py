@@ -202,7 +202,11 @@ def _sweep_shape_group(*, gmap, runs, setups, exps, packs, rngs, mesh,
                     raise RuntimeError(
                         "RESOURCE_EXHAUSTED (forced for test)")
                 c = min(chunk, n_epoch - e)
-                (d_tr, d_st, d_op), ys = vrun(
+                # d_tr/d_st/d_op keep pointing at the last GOOD chunk's
+                # state until this chunk's results are safely on host —
+                # an OOM surfacing at device_get (async execution) must
+                # not leave them bound to poisoned output buffers
+                (n_tr, n_st, n_op), ys = vrun(
                     d_tr, frozen, d_st, d_op,
                     _shard_runs(mesh, all_perms[pidx][:, e:e + c]),
                     jnp.arange(e, e + c, dtype=jnp.int32),
@@ -210,6 +214,7 @@ def _sweep_shape_group(*, gmap, runs, setups, exps, packs, rngs, mesh,
                 ys = jax.device_get(ys)
                 consume(idx, e, c, ys)
                 e += c
+                d_tr, d_st, d_op = n_tr, n_st, n_op
         except Exception as ex:  # noqa: BLE001 — filtered below
             if "RESOURCE_EXHAUSTED" not in str(ex) or len(idx) == 1:
                 raise

@@ -45,9 +45,23 @@ def sample_heatmap(key, prob_map, num_samples: int, rel_threshold=None,
         logp = jnp.where(flat < thresh, -jnp.inf, logp)
 
     if replacement:
-        idx = jax.random.categorical(
-            key, logp[:, None, :], axis=-1,
-            shape=(flat.shape[0], num_samples))
+        # inverse-CDF sampling: one cumsum + a vectorized binary search.
+        # jax.random.categorical with a sample axis broadcasts the logits
+        # to (B, num_samples, H*W) gumbels — at TTST scale (8 x 10000 x
+        # 169k) that is ~1.4e10 generated elements per call and measured
+        # ~330 ms/batch on a v5e; the CDF route is a few ms and draws from
+        # the identical multinomial distribution (different RNG
+        # realization — TTST parity is statistical, like torch vs JAX).
+        w = jnp.where(jnp.isneginf(logp), 0.0,
+                      flat.astype(jnp.float32))
+        cdf = jnp.cumsum(w, axis=1)  # (B', H*W)
+        u = jax.random.uniform(
+            key, (flat.shape[0], num_samples), dtype=jnp.float32,
+            maxval=1.0) * cdf[:, -1:]
+        # side='right' skips zero-weight bins even on exact-equality ties
+        idx = jax.vmap(
+            lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
+        idx = jnp.minimum(idx, H * W - 1)
     else:
         # Gumbel top-k == multinomial without replacement.
         g = jax.random.gumbel(key, logp.shape, dtype=logp.dtype)

@@ -37,6 +37,7 @@ Usage:
 import json
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -80,6 +81,15 @@ class Batcher:
         self._stop.set()
         self.q.put(None)
         self.thread.join(timeout=5)
+        # fail anything still queued so no handler blocks forever
+        while True:
+            try:
+                item = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].error = "server shutting down"
+                item[1].event.set()
 
     # -- dispatcher thread ---------------------------------------------------
 
@@ -88,7 +98,10 @@ class Batcher:
 
         while not self._stop.is_set():
             item = self.q.get()
-            if item is None:
+            if item is None or self._stop.is_set():
+                if item is not None:
+                    item[1].error = "server shutting down"
+                    item[1].event.set()
                 continue
             key0, group = item[0], [item[1]]
             n_rows = len(item[1].rows)
@@ -99,14 +112,14 @@ class Batcher:
             while n_rows < self.B:
                 try:
                     timeout = self.max_wait if deadline is None else \
-                        max(deadline - _now(), 0)
+                        max(deadline - time.monotonic(), 0)
                     nxt = self.q.get(timeout=timeout)
                 except queue.Empty:
                     break
                 if nxt is None:
                     break
                 if deadline is None:
-                    deadline = _now() + self.max_wait
+                    deadline = time.monotonic() + self.max_wait
                 if nxt[0] == key0 and n_rows + len(nxt[1].rows) <= self.B:
                     group.append(nxt[1])
                     n_rows += len(nxt[1].rows)
@@ -142,12 +155,6 @@ class Batcher:
         finally:
             for p in group:
                 p.event.set()
-
-
-def _now():
-    import time
-
-    return time.monotonic()
 
 
 def make_handler(server_state):
@@ -189,10 +196,11 @@ def make_handler(server_state):
                 name = self.path.split("/", 2)[2]
                 try:
                     sem = np.asarray(self._body()["semantic"], np.float32)
-                    if sem.ndim != 4 or sem.shape[0] != 1:
+                    want = tuple(model.manifest["semantic_shape"])
+                    if sem.shape != want:
                         raise ValueError(
-                            f"semantic must be (1, H, W, C), got "
-                            f"{sem.shape}")
+                            f"semantic must match the exported shape "
+                            f"{want}, got {sem.shape}")
                     scenes[name] = sem
                     self._json(200, {"ok": True, "scene": name,
                                      "shape": list(sem.shape)})
@@ -228,10 +236,12 @@ def make_handler(server_state):
                     raise ValueError(
                         f"observed must be (n, {m['obs_len']}, 2), got "
                         f"{rows.shape}")
-                if rows.shape[0] > m["observed_shape"][0]:
+                if not 1 <= rows.shape[0] <= m["observed_shape"][0]:
                     raise ValueError(
-                        f"at most batch_size="
-                        f"{m['observed_shape'][0]} rows per request")
+                        f"between 1 and batch_size="
+                        f"{m['observed_shape'][0]} rows per request, got "
+                        f"{rows.shape[0]}")
+                seed = int(req.get("seed", 0) or 0)
                 style = req.get("style")
                 if style is not None and style not in model.styles:
                     raise ValueError(
@@ -240,8 +250,10 @@ def make_handler(server_state):
             except Exception as ex:  # noqa: BLE001
                 self._json(400, {"error": str(ex)})
                 return
-            p = batcher.submit(scene, style, req.get("seed", 0), rows)
-            p.event.wait()
+            p = batcher.submit(scene, style, seed, rows)
+            if not p.event.wait(timeout=300):
+                self._json(504, {"error": "dispatch timed out"})
+                return
             if p.error is not None:
                 self._json(500, {"error": p.error})
             else:

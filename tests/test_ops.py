@@ -127,6 +127,25 @@ class TestSampling:
         frac = np.mean((coords[:, 0] == 9) & (coords[:, 1] == 5))
         assert frac > 0.95
 
+    def test_replacement_matches_multinomial_frequencies(self):
+        """The inverse-CDF replacement sampler draws from the exact
+        multinomial the probabilities define: empirical cell frequencies
+        over many draws match p within 3-sigma binomial bounds."""
+        key = jax.random.PRNGKey(11)
+        rng = np.random.default_rng(4)
+        p = rng.uniform(0.0, 1.0, size=(1, 1, 8, 8)).astype(np.float32)
+        p[0, 0, 3, 3] = 0.0  # a zero-weight cell must never be drawn
+        n = 200_000
+        coords = np.asarray(sample_heatmap(
+            key, jnp.asarray(p), num_samples=n, replacement=True))[0, 0]
+        idx = coords[:, 1].astype(int) * 8 + coords[:, 0].astype(int)
+        counts = np.bincount(idx, minlength=64).astype(np.float64)
+        probs = (p.reshape(-1) / p.sum()).astype(np.float64)
+        assert counts[3 * 8 + 3] == 0
+        sigma = np.sqrt(n * probs * (1 - probs))
+        np.testing.assert_array_less(
+            np.abs(counts - n * probs), 4.0 * sigma + 1e-9)
+
     def test_rel_threshold_excludes_tail(self):
         key = jax.random.PRNGKey(3)
         p = np.full((1, 1, 16, 16), 1e-3, np.float32)
