@@ -336,6 +336,27 @@ def _check_pallas_softargmax():
     _log("pallas softargmax crosscheck vs XLA: OK")
 
 
+def measure_ttst(n_iter=10):
+    """SDD bf16 eval with use_TTST on (10k threshold samples + batched
+    k-means to n_goal-1 clusters per agent, steps.py:_ttst_goals). The
+    shipped parity configs run TTST off, so this is a separate leg."""
+    import jax
+
+    from mst_tpu.train import steps as steps_lib
+
+    mcfg, params, state, scfg, batch, sc = build_scenario(
+        "sdd", "bfloat16", use_ttst=True, rel_threshold=0.01)
+    eval_step = steps_lib.make_eval_step(mcfg, scfg)
+    key = jax.random.PRNGKey(0)
+    out = eval_step(params, state, batch, key)
+    jax.block_until_ready(out["ade"])
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        out = eval_step(params, state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(out["ade"])
+    return sc["B"] * n_iter / (time.perf_counter() - t0)
+
+
 def main():
     t0 = time.perf_counter()
     _with_deadline(_check_pallas_softargmax, 300, "pallas crosscheck")
@@ -349,6 +370,10 @@ def main():
         lambda: measure_jax(compute_dtype="bfloat16", scenario="ind"),
         1200, "inD long-term leg")
     _log(f"jax inD bf16 measured in {time.perf_counter() - t0:.1f}s: {ind}")
+    t0 = time.perf_counter()
+    ttst = _with_deadline(measure_ttst, 900, "TTST leg")
+    _log(f"jax TTST bf16 measured in {time.perf_counter() - t0:.1f}s: "
+         f"{ttst}")
     t0 = time.perf_counter()
     base = _with_deadline(get_baseline, 900, "torch baseline")
     _log(f"baseline ready in {time.perf_counter() - t0:.1f}s: {base}")
@@ -382,6 +407,10 @@ def main():
                           "ind_train_pct_peak_bf16")):
             if src in ind:
                 line[dst] = round(ind[src], 3)
+    if ttst:
+        # third measured leg: the eval with TTST on (10k-goal sampling +
+        # batched k-means; the reference's most loop-bound path)
+        line["ttst_eval_traj_per_sec"] = round(ttst, 3)
     print(json.dumps(line))
 
 
