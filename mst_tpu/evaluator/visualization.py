@@ -144,8 +144,11 @@ def plot_input_space(semantic, observed_map, out_dir, name="input_space"):
 
 def create_few_shot_plot(results_dir, out_dir, fontsize=14, fmt="png"):
     """ADE vs #batches from the csv tree the eval tooling writes:
-    <results_dir>/<update_mode>/<seed>/<num>.csv, with the zero-shot point
-    read from the sibling 'None' update-mode (reference layout)."""
+    <results_dir>/<update_mode>/<seed>/<num>.csv. The zero-shot point
+    comes from the reference's exact path construction
+    (visualization.py:52-56): results_dir's second-to-last component
+    replaced with 'None', then eval/<seed>/0.csv appended — so for
+    results_dir = <exp>/<family> it reads <exp>/None/eval/<seed>/0.csv."""
     import pandas as pd
 
     ades = {}
@@ -163,6 +166,9 @@ def create_few_shot_plot(results_dir, out_dir, fontsize=14, fmt="png"):
                 ade = float(pd.read_csv(
                     os.path.join(seed_dir, num_file)).values[0][0])
                 ades[update_mode].setdefault(num, []).append(ade)
+            # byte-for-byte the reference's zero-shot path construction
+            # (visualization.py:52-56): replace results_dir's second-to-
+            # last component with 'None' and append eval/<seed>/0.csv
             zero = results_dir.split("/")
             if len(zero) >= 2:
                 zero[-2] = "None"
@@ -267,6 +273,10 @@ def plot_feature_space_diff_evolution(
                 rows.append({"ckpt": f"diff_OODG_{ckpt}",
                              "scene_id": scene_id, "feature": fname,
                              "diff": float(diff.mean())})
+    if not rows:
+        raise ValueError(
+            "feature-diff evolution needs an 'OODG' baseline plus at "
+            f"least one tuned checkpoint; got {sorted(dict_features)}")
     df = pd.DataFrame(rows)
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
     csv_path = os.path.join(out_dir, f"diff_evolution_{diff_type}.csv")
@@ -297,7 +307,9 @@ def plot_decoder_overlay(image, dict_features,
                     continue
                 fmap = np.asarray(arr)[0].mean(axis=-1)  # (h, w)
                 fig, ax = plt.subplots(figsize=(6, 6))
-                ax.imshow(img[..., ::-1] if img.ndim == 3 else img,
+                ax.imshow(img[..., ::-1]
+                          if img.ndim == 3 and img.dtype == np.uint8
+                          else img,
                           cmap=None if img.ndim == 3 else "gray")
                 zoom_h = img.shape[0] / fmap.shape[0]
                 zoom_w = img.shape[1] / fmap.shape[1]
@@ -736,9 +748,9 @@ def plot_goal_output(ckpts_hook_dict, index, df_test, images, resize_factor,
                     ax = axes[1]
                     ax.imshow(scene_img)
                     lw, ms = 1, 3
-                    if vmin > 0:
+                    if vmin >= 0:
                         vmin = -1e-5
-                    if vmax < 0:
+                    if vmax <= 0:
                         vmax = 1e-5
                 else:
                     fig, ax = plt.subplots(1, 1, figsize=(width, height))
