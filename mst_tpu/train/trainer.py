@@ -231,6 +231,30 @@ class Experiment:
             cache[batch.scene_id] = np.asarray(sem)
         return cache[batch.scene_id]
 
+    def _eval_shrinker(self, make_step):
+        """OOM-fallback ladder for the K-sample eval decode: returns
+        (state, shrink) where state['step'] holds the current eval step and
+        shrink() rebuilds it with the next smaller eval_k_chunk divisor of
+        K = n_goal * n_traj (None when no smaller chunk exists). The
+        chunked decode is numerically identical (lax.map over K chunks,
+        steps.py:_decode_all), so degrading under RESOURCE_EXHAUSTED — big
+        scenes, spatial meshes — trades only speed, never results."""
+        K = int(self.params["n_goal"]) * int(self.params["n_traj"])
+        state = {"kc": int(self.params.get("eval_k_chunk", 0)) or K,
+                 "step": make_step(None)}
+
+        def shrink():
+            for kc in range(state["kc"] - 1, 0, -1):
+                if K % kc == 0:
+                    state["kc"] = kc
+                    print(f"[eval] device memory exhausted; retrying with "
+                          f"eval_k_chunk={kc} (K={K})", flush=True)
+                    state["step"] = make_step(kc)
+                    return state["step"]
+            return None
+
+        return state, shrink
+
     def _step_config(self, eval_k_chunk=None, segment_in_step=False,
                      segment_train_mode=False, for_validation=False):
         """for_validation forces TTST off but passes use_CWS through: the
@@ -402,8 +426,10 @@ class Experiment:
         train_step = steps_lib.make_train_step(
             self.mcfg, self._step_config(segment_in_step=segment_in_step),
             optimizer)
-        eval_step = steps_lib.make_eval_step(
-            self.mcfg, self._step_config(for_validation=True))
+        ves_state, ves_shrink = self._eval_shrinker(
+            lambda kc: steps_lib.make_eval_step(
+                self.mcfg, self._step_config(eval_k_chunk=kc,
+                                             for_validation=True)))
         e_unfreeze = self._e_unfreeze()
         unfreeze_step = None  # built lazily at the boundary
 
@@ -662,7 +688,8 @@ class Experiment:
                 self.model_state = state
                 ekey = jax.random.fold_in(self._key, e)
                 val_ade, val_fde, _, _ = self._evaluate(
-                    val_batches, eval_step, ekey)
+                    val_batches, ves_state["step"], ekey,
+                    shrink=ves_shrink)
                 snapshot = jax.tree.map(np.asarray, trainable)
                 if finish_epoch(e, losses, ade_sum, fde_sum, n_sum,
                                 val_ade, val_fde, snapshot, trainable,
@@ -786,7 +813,7 @@ class Experiment:
 
     # -- evaluation (reference trainer.py:295-352) ---------------------------
     def _evaluate(self, batches, eval_step, key, collect_preds=False,
-                  collect_samples=False):
+                  collect_samples=False, shrink=None):
         seg_cache = {}
         ade_sum = fde_sum = n_sum = 0.0
         rows = []
@@ -803,8 +830,19 @@ class Experiment:
 
         for i, (batch, db) in enumerate(zip(
                 batches, hostdata.prefetch_to_device(batches, make_db))):
-            out = eval_step(self.model_params, self.model_state, db,
-                            jax.random.fold_in(key, i))
+            while True:
+                try:
+                    out = eval_step(self.model_params, self.model_state, db,
+                                    jax.random.fold_in(key, i))
+                    break
+                except Exception as ex:  # noqa: BLE001 — filtered below
+                    new_step = (shrink()
+                                if shrink is not None
+                                and "RESOURCE_EXHAUSTED" in str(ex)
+                                else None)
+                    if new_step is None:
+                        raise
+                    eval_step = new_step  # retry this batch, smaller chunks
             m = np.asarray(out["mask"]).astype(bool)
             ade = np.asarray(out["ade"])[m]
             fde = np.asarray(out["fde"])[m]
@@ -834,8 +872,10 @@ class Experiment:
              return_samples=False):
         p = self.params
         batches = self.prepare_data(df_test, image_path, "test")
-        eval_step = steps_lib.make_eval_step(self.mcfg, self._step_config(),
-                                             collect_samples=return_samples)
+        es_state, es_shrink = self._eval_shrinker(
+            lambda kc: steps_lib.make_eval_step(
+                self.mcfg, self._step_config(eval_k_chunk=kc),
+                collect_samples=return_samples))
         self.eval_ADE, self.eval_FDE = [], []
         list_metrics, list_trajs = [], []
         print("TTST setting:", p.get("use_TTST", False))
@@ -843,9 +883,9 @@ class Experiment:
             key = jax.random.fold_in(
                 jax.random.PRNGKey(int(p.get("seed", 1))), 10_000 + e)
             ade, fde, df_metrics, trajs = self._evaluate(
-                batches, eval_step, key,
+                batches, es_state["step"], key,
                 collect_preds=return_preds or return_samples,
-                collect_samples=return_samples)
+                collect_samples=return_samples, shrink=es_shrink)
             list_metrics.append(df_metrics)
             list_trajs.append(trajs)
             print(f"Round {e}: \nTest ADE: {ade} \nTest FDE: {fde}")

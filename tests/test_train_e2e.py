@@ -232,3 +232,64 @@ def test_remat_train_step_matches(tmp_path):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
         results["plain"][0], results["remat"][0])
+
+
+def test_eval_oom_fallback_shrinks_k_chunk(tmp_path, dataset, monkeypatch):
+    """When the K-sample decode exhausts device memory, test() retries the
+    batch with the next smaller eval_k_chunk divisor — results identical
+    to the unshrunk eval (chunked decode is numerically the same)."""
+    from mst_tpu.train import steps as steps_lib
+
+    df_train, df_val, df_test, images = dataset
+    params = make_params(tmp_path, n_goal=6)  # K=6: ladder 6 -> 3 -> 2 -> 1
+    exp = Experiment(params, images=images)
+    want_ade, want_fde, _, _ = exp.test(df_test, None)
+
+    real_make = steps_lib.make_eval_step
+    built_kcs = []
+
+    def fake_make(mcfg, scfg, **kw):
+        built_kcs.append(scfg.eval_k_chunk)
+        step = real_make(mcfg, scfg, **kw)
+        if scfg.eval_k_chunk == 0:  # the full-K program "OOMs"
+            calls = {"n": 0}
+
+            def oom_step(*a, **k):
+                calls["n"] += 1
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake OOM")
+            return oom_step
+        return step
+
+    monkeypatch.setattr(steps_lib, "make_eval_step", fake_make)
+    exp2 = Experiment(params, images=images)
+    exp2.model_params = exp.model_params
+    exp2.model_state = exp.model_state
+    ade, fde, _, _ = exp2.test(df_test, None)
+    monkeypatch.undo()
+    # first build is the configured chunk (0 = all K), the retry is the
+    # next smaller divisor of K=6
+    assert built_kcs[:2] == [0, 3]
+    np.testing.assert_allclose(ade, want_ade, rtol=1e-5)
+    np.testing.assert_allclose(fde, want_fde, rtol=1e-5)
+
+
+def test_eval_oom_fallback_exhausted_reraises(tmp_path, dataset,
+                                              monkeypatch):
+    """If no smaller chunk exists (kc=1 still OOMs), the original error
+    propagates instead of looping."""
+    import pytest as _pytest
+
+    from mst_tpu.train import steps as steps_lib
+
+    df_train, df_val, df_test, images = dataset
+    params = make_params(tmp_path, n_goal=2)
+    exp = Experiment(params, images=images)
+
+    def always_oom(mcfg, scfg, **kw):
+        def step(*a, **k):
+            raise RuntimeError("RESOURCE_EXHAUSTED: fake OOM")
+        return step
+
+    monkeypatch.setattr(steps_lib, "make_eval_step", always_oom)
+    with _pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        exp.test(df_test, None)
