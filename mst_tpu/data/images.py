@@ -98,6 +98,12 @@ def swap_pavement_terrain(semantic_img):
 # augmentation (reference data_utils.py:115-233)
 # ---------------------------------------------------------------------------
 
+# one cv2 call per quarter-turn count (a k-times ROTATE_90 loop pays k full
+# image passes for the same result)
+_ROT_CODES = {1: cv2.ROTATE_90_COUNTERCLOCKWISE, 2: cv2.ROTATE_180,
+              3: cv2.ROTATE_90_CLOCKWISE}
+
+
 def rot_df_image(df, image, k=1):
     """Rotate image + coordinates CCW by k*90 deg (data_utils.py:115-144)."""
     xy = df.copy()
@@ -107,8 +113,8 @@ def rot_df_image(df, image, k=1):
     c, s = np.cos(-k * np.pi / 2), np.sin(-k * np.pi / 2)
     R = np.array([[c, s], [-s, c]])
     xy[["x", "y"]] = xy[["x", "y"]].to_numpy() @ R
-    for _ in range(k):
-        image = cv2.rotate(image, cv2.ROTATE_90_COUNTERCLOCKWISE)
+    if k % 4:
+        image = cv2.rotate(image, _ROT_CODES[k % 4])
     y0, x0 = image.shape[:2]
     xy["x"] = xy["x"] + x0 / 2
     xy["y"] = xy["y"] + y0 / 2
@@ -136,8 +142,14 @@ def augment_data(data, images):
 
     k2rot = {1: "_rot90", 2: "_rot180", 3: "_rot270"}
     data_orig = data.copy()
+    # pieces are collected and concatenated ONCE per phase: the reference's
+    # concat-inside-the-loop (data_utils.py:186,208) re-copies the growing
+    # frame per scene; the metaId offsets only depend on the running max,
+    # which is tracked as a scalar, so the row order and ids are identical
+    pieces = [data]
+    meta_max = data["metaId"].max()
     for k in (1, 2, 3):
-        meta_max = data["metaId"].max()
+        k_pieces = []
         for scene in data_orig.sceneId.unique():
             df_rot, im_rot = rot_df_image(
                 data_orig[data_orig.sceneId == scene], images[scene], k)
@@ -145,14 +157,19 @@ def augment_data(data, images):
             images[new_scene] = im_rot
             df_rot["sceneId"] = new_scene
             df_rot["metaId"] = df_rot["metaId"] + meta_max + 1
-            data = pd.concat([data, df_rot], axis=0)
+            k_pieces.append(df_rot)
+        pieces.extend(k_pieces)
+        if k_pieces:
+            meta_max = max(p["metaId"].max() for p in k_pieces)
+    data = pd.concat(pieces, axis=0)
 
     meta_max = data["metaId"].max()
+    flip_pieces = [data]
     for scene in list(data.sceneId.unique()):
         df_flip, im_flip = fliplr_df_image(
             data[data.sceneId == scene], images[scene])
         df_flip["sceneId"] = df_flip["sceneId"] + "_fliplr"
         df_flip["metaId"] = df_flip["metaId"] + meta_max + 1
-        data = pd.concat([data, df_flip], axis=0)
+        flip_pieces.append(df_flip)
         images[scene + "_fliplr"] = im_flip
-    return data, images
+    return pd.concat(flip_pieces, axis=0), images

@@ -102,6 +102,10 @@ def main():
                         default="data/inD-dataset-v1.0/filter/longterm")
     parser.add_argument("--reload", action="store_true")
     parser.add_argument("--statistic_only", action="store_true")
+    parser.add_argument("--same_group_size", action="store_true",
+                        help="scene-balanced subsample every style "
+                             "bucket to the smallest bucket's size "
+                             "(reduce_group_size)")
     parser.add_argument("--step", default=25, type=int)
     parser.add_argument("--window_size", default=35, type=int)
     parser.add_argument("--stride", default=35, type=int)
@@ -135,14 +139,16 @@ def main():
         out_dir = os.path.join(args.filter_data_dir, args.varf[0])
         create_dataset_by_agent_type(df, args.labels, out_dir,
                                      args.statistic_only,
-                                     selected_scenes=args.selected_scenes)
+                                     selected_scenes=args.selected_scenes,
+                                     same_group_size=args.same_group_size)
     else:
         out_dir = os.path.join(args.filter_data_dir, "__".join(args.varf),
                                "_".join(args.labels))
         create_dataset_given_range(df, args.varf, args.varf_ranges,
                                    args.labels, out_dir,
                                    obs_len=args.obs_len,
-                                   statistic_only=args.statistic_only)
+                                   statistic_only=args.statistic_only,
+                                   same_group_size=args.same_group_size)
 
 
 if __name__ == "__main__":

@@ -143,6 +143,22 @@ def prepare_dataset(data_path, load_data, batch_size, n_train_batch,
     return df_train, df_val, df_test
 
 
+def dataset_split_given_scenes(data_path, files, scenes):
+    """Rows of the listed pickles belonging to the given sceneIds
+    (reference data_utils.py:816-820)."""
+    print(f"Split {files} given scenes={scenes}")
+    df = pd.concat([pd.read_pickle(os.path.join(data_path, f))
+                    for f in files])
+    return df[df.sceneId.isin(scenes)]
+
+
+def separate_data_label(df):
+    """Split a velocity-bucketed DataFrame into one frame per vel_range,
+    sorted by range label (reference utils/dataloader.py:53-56)."""
+    labels = np.sort(np.unique(df["vel_range"]))
+    return [df[df["vel_range"] == label] for label in labels]
+
+
 def split_train_val_test_randomly(data_dir, data_filename, val_split,
                                   test_split, seed=1):
     """reference data_utils.py:823-856 (utils/split_dataset.py CLI)."""

@@ -182,13 +182,117 @@ def compute_distance_with_neighbors(df_scene, step=12):
 # style-bucket dataset creation (reference data_utils.py:367-517)
 # ---------------------------------------------------------------------------
 
+def convert_df_to_dict(df_gb):
+    """Per-group {metaId, sceneId, label} lists, one entry per unique
+    trajectory (reference data_utils.py:367-374)."""
+    out = {}
+    for name in df_gb.groups:
+        g = df_gb.get_group(name)[
+            ["metaId", "sceneId", "label"]].drop_duplicates()
+        assert g.metaId.nunique() == g.shape[0]
+        out[name] = g.to_dict("list")
+    return out
+
+
+def reduce_group_size(group, name, min_n):
+    """Scene-balanced subsampling of one style group down to min_n
+    trajectories (reference data_utils.py:468-517).
+
+    Two stages, matching the reference's selection exactly:
+    1. Water-fill scene budgets: walk the unique per-scene counts in
+       ascending order; scenes at or below the level where the running
+       total first reaches min_n are kept whole, larger scenes are capped
+       at the previous level, then the remainder is handed out one
+       trajectory at a time over the capped scenes in scene order.
+    2. Within each scene, labels are picked round-robin and, per label,
+       the FIRST budgeted trajectories in group order are kept.
+
+    Returns a boolean mask over the group's trajectory lists.
+    """
+    print(f"Group {name}")
+    scene_col = np.asarray(group["sceneId"])
+    label_col = np.asarray(group["label"])
+    scene_ids, scene_counts = np.unique(scene_col, return_counts=True)
+
+    full = np.zeros(len(scene_ids), dtype=bool)  # scenes kept whole
+    total, prev = 0, 0
+    for level in np.unique(scene_counts):
+        total += (scene_counts >= level).sum() * (level - prev)
+        if total >= min_n:
+            break
+        full[scene_counts == level] = True
+        prev = level
+    budgets = np.where(full, scene_counts, prev).astype(np.int64)
+    capped = np.where(~full)[0]
+    while budgets.sum() < min_n and capped.size:
+        for i in capped:
+            budgets[i] += 1
+            if budgets.sum() >= min_n:
+                break
+
+    keep = np.zeros(len(scene_col), dtype=bool)
+    for s_idx, scene in enumerate(scene_ids):
+        in_scene = scene_col == scene
+        uniq_labels, counts_left = np.unique(label_col[in_scene],
+                                             return_counts=True)
+        take = np.zeros(len(uniq_labels), dtype=np.int64)
+        chosen = 0
+        while chosen < budgets[s_idx]:
+            progressed = False
+            for li in range(len(uniq_labels)):
+                if counts_left[li] > 0:
+                    take[li] += 1
+                    counts_left[li] -= 1
+                    chosen += 1
+                    progressed = True
+                    if chosen == budgets[s_idx]:
+                        break
+            if not progressed:  # budget exceeds the scene's population
+                break
+        for li, lab in enumerate(uniq_labels):
+            idx = np.where(in_scene & (label_col == lab))[0][:take[li]]
+            keep[idx] = True
+    return keep
+
+
+def _print_group_stats(df_label, df_gb):
+    """Per-group trajectory-count statistics, printed whether or not the
+    pickles are written (reference data_utils.py:384-386; the reference's
+    create_dataset_given_range variant of this print is bit-rotted —
+    data_utils.py:471-472 calls .sum() on an int — so both builders here
+    print the per-agent-type form)."""
+    if not len(df_label):
+        print("Statistics:\n", pd.Series(dtype=float))
+        return
+    n_total = (df_label.metaId == df_label.metaId.unique()[0]).sum()
+    per_group = df_gb.count()["metaId"] / n_total
+    print("Statistics:\n", per_group)
+    print("# total:", per_group.sum())
+
+
 def create_dataset_by_agent_type(df, labels, out_dir, statistic_only=False,
-                                 selected_scenes=None):
-    """Write one .pkl per agent label (data_utils.py:376-412)."""
+                                 selected_scenes=None,
+                                 same_group_size=False):
+    """Write one .pkl per agent label (data_utils.py:376-412).
+
+    same_group_size subsamples every label group to the smallest group's
+    trajectory count, scene-balanced (reduce_group_size).
+    """
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
     df_label = df[df.label.isin(labels)]
+    df_gb = df_label.groupby("label", dropna=True)
+    _print_group_stats(df_label, df_gb)
     if statistic_only:
         return
+    if same_group_size:
+        groups = convert_df_to_dict(df_gb)
+        min_n = min(len(g["metaId"]) for g in groups.values())
+        kept_ids = {
+            agent: np.asarray(g["metaId"])[reduce_group_size(g, agent,
+                                                             min_n)]
+            for agent, g in groups.items()}
+        df_label = df_label[df_label.metaId.isin(
+            np.concatenate(list(kept_ids.values())))]
     for agent, g in df_label.groupby("label", dropna=True):
         if selected_scenes is None:
             g.to_pickle(os.path.join(out_dir, f"{agent}.pkl"))
@@ -207,8 +311,12 @@ def create_dataset_by_agent_type(df, labels, out_dir, statistic_only=False,
 
 def create_dataset_given_range(df, varf, varf_ranges, labels, out_dir,
                                obs_len, statistic_only=False,
-                               inclusive="both"):
-    """Write one .pkl per variation-factor range (data_utils.py:415-465)."""
+                               inclusive="both", same_group_size=False):
+    """Write one .pkl per variation-factor range (data_utils.py:415-465).
+
+    same_group_size subsamples every range bucket to the smallest bucket's
+    trajectory count, scene-balanced (reduce_group_size).
+    """
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
     df_label = df[df.label.isin(labels)]
     if isinstance(varf_ranges[0], (tuple, list)) and not isinstance(
@@ -224,7 +332,17 @@ def create_dataset_given_range(df, varf, varf_ranges, labels, out_dir,
         parts = [f + "_range" for f in varf]
         ok = df_label[parts].notna().all(axis=1)
         df_label.loc[ok, col] = df_label.loc[ok, parts].agg("__".join, axis=1)
+    df_gb = df_label.groupby(col, dropna=True)
+    _print_group_stats(df_label, df_gb)
     if statistic_only:
         return
+    if same_group_size:
+        groups = convert_df_to_dict(df_gb)
+        min_n = min(len(g["metaId"]) for g in groups.values())
+        kept_ids = {
+            rng: np.asarray(g["metaId"])[reduce_group_size(g, rng, min_n)]
+            for rng, g in groups.items()}
+        df_label = df_label[df_label.metaId.isin(
+            np.concatenate(list(kept_ids.values())))]
     for rng_name, g in df_label.groupby(col, dropna=True):
         g.to_pickle(os.path.join(out_dir, f"{rng_name}.pkl"))
