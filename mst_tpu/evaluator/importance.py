@@ -58,11 +58,15 @@ def swap_importance(model, df_test, image_path, pretrained_flat, tuned_flat,
     base_name, all_name = ((tag, "OODG")
                            if direction == "tuned_to_pretrained"
                            else ("OODG", tag))
+    # one host image-prep + batch build serves every swap (only the params
+    # change between evals; the jitted eval step is memoized too —
+    # steps.cached_eval_step)
+    batches = model.prepare_data(df_test, image_path, "test")
 
     def run(flat, name, swapped_paths):
         model.model_params = overlay_checkpoint(template, dict(flat))
         set_random_seeds(seed)
-        ade, fde, dfs, _ = model.test(df_test, image_path)
+        ade, fde, dfs, _ = model.test(df_test, image_path, batches=batches)
         n = sum(int(np.asarray(flat[p]).size) for p in swapped_paths)
         rows.append({"group": name, "n_param": n, "ade": ade, "fde": fde})
         if per_traj_dir is not None:
@@ -102,6 +106,7 @@ def lora_importance(model, df_test, image_path, max_combo=1, seed=1):
     lora_layers = sorted({p.rsplit("/", 1)[0] for p in flat
                           if p.endswith("lora_B")})
     rows = []
+    batches = model.prepare_data(df_test, image_path, "test")
 
     def run(zeroed_layers, name):
         patched = dict(flat)
@@ -111,7 +116,7 @@ def lora_importance(model, df_test, image_path, max_combo=1, seed=1):
                 patched[key] = np.zeros_like(np.asarray(flat[key]))
         model.model_params = unflatten_dict(patched)
         set_random_seeds(seed)
-        ade, fde, _, _ = model.test(df_test, image_path)
+        ade, fde, _, _ = model.test(df_test, image_path, batches=batches)
         rows.append({"zeroed": name, "ade": ade, "fde": fde})
 
     run([], "none")

@@ -53,6 +53,7 @@ def compare_checkpoints(params, df_test, image_path, ckpts, ckpts_name,
     """Evaluate each checkpoint; return the merged per-metaId csv frame."""
     df_result = None
     trajs_by_ckpt = {}
+    batches = None
     for i, (ckpt, name) in enumerate(zip(ckpts, ckpts_name)):
         print(f"====== Testing for {name} ======")
         p = dict(params, n_round=n_round, seed=seed)
@@ -62,8 +63,13 @@ def compare_checkpoints(params, df_test, image_path, ckpts, ckpts_name,
         if images is not None:
             model._images_override = images
         set_random_seeds(seed)
+        if batches is None:
+            # the host image prep + batch build depends only on the data
+            # params (shared by every checkpoint), so the first model's
+            # prepared batches serve all of them
+            batches = model.prepare_data(df_test, image_path, "test")
         _, _, list_metrics, list_trajs = model.test(
-            df_test, image_path, return_preds=True)
+            df_test, image_path, return_preds=True, batches=batches)
         merged = list_metrics[0].copy()
         for r in range(1, n_round):
             merged[["ade", "fde"]] += list_metrics[r][["ade", "fde"]]

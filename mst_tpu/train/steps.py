@@ -525,6 +525,35 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
     return eval_step
 
 
+_EVAL_STEP_MEMO = {}
+
+
+def cached_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
+                     collect_samples: bool = False):
+    """Memoized make_eval_step (jit=True only).
+
+    The analysis tools call Experiment.test many times with only the model
+    params swapped — the importance sweeps re-evaluate once per ablated
+    parameter group (evaluator/importance.py) and the multi-checkpoint
+    comparator once per checkpoint (evaluator/multickpts.py). A fresh
+    make_eval_step closure per call would defeat jax's in-memory executable
+    cache (it is keyed on the callable's identity) and re-trace + re-lower
+    the two eval programs every time; returning the SAME jitted callable
+    for identical (mcfg, scfg, collect_samples) makes every call after the
+    first dispatch-only. Params/state/batch are arguments, so swapping
+    checkpoints or LoRA overlays never stales the cache.
+    """
+    key = (mcfg, scfg, bool(collect_samples))
+    try:
+        step = _EVAL_STEP_MEMO.get(key)
+    except TypeError:  # unhashable field (e.g. list waypoints): no memo
+        return make_eval_step(mcfg, scfg, collect_samples)
+    if step is None:
+        step = make_eval_step(mcfg, scfg, collect_samples)
+        _EVAL_STEP_MEMO[key] = step
+    return step
+
+
 def make_predict_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig):
     """Serving-path predict: no ground truth, returns ALL K sampled
     trajectories in raw-image pixels.

@@ -427,7 +427,7 @@ class Experiment:
             self.mcfg, self._step_config(segment_in_step=segment_in_step),
             optimizer)
         ves_state, ves_shrink = self._eval_shrinker(
-            lambda kc: steps_lib.make_eval_step(
+            lambda kc: steps_lib.cached_eval_step(
                 self.mcfg, self._step_config(eval_k_chunk=kc,
                                              for_validation=True)))
         e_unfreeze = self._e_unfreeze()
@@ -869,11 +869,19 @@ class Experiment:
         return (ade_sum / max(n_sum, 1), fde_sum / max(n_sum, 1), df, trajs)
 
     def test(self, df_test, image_path, return_preds=False,
-             return_samples=False):
+             return_samples=False, batches=None):
+        """Multi-round stochastic eval (reference trainer.py:295-352).
+
+        batches: optionally pass the prepared SceneBatch list (from
+        prepare_data(df_test, image_path, 'test')) to skip the host image
+        resize/pad/normalize + batch building — the analysis tools call
+        test() many times on the SAME df_test with only params swapped.
+        """
         p = self.params
-        batches = self.prepare_data(df_test, image_path, "test")
+        if batches is None:
+            batches = self.prepare_data(df_test, image_path, "test")
         es_state, es_shrink = self._eval_shrinker(
-            lambda kc: steps_lib.make_eval_step(
+            lambda kc: steps_lib.cached_eval_step(
                 self.mcfg, self._step_config(eval_k_chunk=kc),
                 collect_samples=return_samples))
         self.eval_ADE, self.eval_FDE = [], []

@@ -260,7 +260,10 @@ def test_eval_oom_fallback_shrinks_k_chunk(tmp_path, dataset, monkeypatch):
             return oom_step
         return step
 
-    monkeypatch.setattr(steps_lib, "make_eval_step", fake_make)
+    # patch the memoized entry point: cached_eval_step would otherwise hand
+    # back steps built before the patch (the memo is exactly the production
+    # behavior; the ladder itself builds one entry per chunk size)
+    monkeypatch.setattr(steps_lib, "cached_eval_step", fake_make)
     exp2 = Experiment(params, images=images)
     exp2.model_params = exp.model_params
     exp2.model_state = exp.model_state
@@ -290,6 +293,6 @@ def test_eval_oom_fallback_exhausted_reraises(tmp_path, dataset,
             raise RuntimeError("RESOURCE_EXHAUSTED: fake OOM")
         return step
 
-    monkeypatch.setattr(steps_lib, "make_eval_step", always_oom)
+    monkeypatch.setattr(steps_lib, "cached_eval_step", always_oom)
     with _pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
         exp.test(df_test, None)
