@@ -286,13 +286,14 @@ def create_dataset_by_agent_type(df, labels, out_dir, statistic_only=False,
         return
     if same_group_size:
         groups = convert_df_to_dict(df_gb)
-        min_n = min(len(g["metaId"]) for g in groups.values())
-        kept_ids = {
-            agent: np.asarray(g["metaId"])[reduce_group_size(g, agent,
-                                                             min_n)]
-            for agent, g in groups.items()}
-        df_label = df_label[df_label.metaId.isin(
-            np.concatenate(list(kept_ids.values())))]
+        if groups:  # no matching labels -> nothing to equalize or write
+            min_n = min(len(g["metaId"]) for g in groups.values())
+            kept_ids = {
+                agent: np.asarray(g["metaId"])[reduce_group_size(g, agent,
+                                                                 min_n)]
+                for agent, g in groups.items()}
+            df_label = df_label[df_label.metaId.isin(
+                np.concatenate(list(kept_ids.values())))]
     for agent, g in df_label.groupby("label", dropna=True):
         if selected_scenes is None:
             g.to_pickle(os.path.join(out_dir, f"{agent}.pkl"))
@@ -338,11 +339,13 @@ def create_dataset_given_range(df, varf, varf_ranges, labels, out_dir,
         return
     if same_group_size:
         groups = convert_df_to_dict(df_gb)
-        min_n = min(len(g["metaId"]) for g in groups.values())
-        kept_ids = {
-            rng: np.asarray(g["metaId"])[reduce_group_size(g, rng, min_n)]
-            for rng, g in groups.items()}
-        df_label = df_label[df_label.metaId.isin(
-            np.concatenate(list(kept_ids.values())))]
+        if groups:  # every row outside the ranges -> nothing to equalize
+            min_n = min(len(g["metaId"]) for g in groups.values())
+            kept_ids = {
+                rng: np.asarray(g["metaId"])[reduce_group_size(g, rng,
+                                                               min_n)]
+                for rng, g in groups.items()}
+            df_label = df_label[df_label.metaId.isin(
+                np.concatenate(list(kept_ids.values())))]
     for rng_name, g in df_label.groupby(col, dropna=True):
         g.to_pickle(os.path.join(out_dir, f"{rng_name}.pkl"))

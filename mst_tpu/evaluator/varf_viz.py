@@ -86,8 +86,14 @@ def filter_long_tail_df(df_varfs, varf_list, n=3):
 def _save_current(fig, out_dir, filename):
     pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
     path = os.path.join(out_dir, filename)
+    # figure-LEVEL seaborn calls (pairplot/jointplot) draw on their own new
+    # figure, not the caller's stub — save whatever is current, then close
+    # both (the reference leaks the seaborn figure, data_utils.py:628-629)
+    cur = plt.gcf()
     plt.savefig(path)
     plt.close(fig)
+    if cur is not fig:
+        plt.close(cur)
     return path
 
 
@@ -184,7 +190,9 @@ def plot_pairplot(df_varfs, varf_list, label, title, out_dir, kind="kde",
 def plot_jointplot(df_varfs, varf_list, label, title, out_dir, hue,
                    kind="kde", format="png"):
     """Joint distribution per factor pair; falls back to scatter when the
-    KDE is singular (reference data_utils.py:632-659)."""
+    KDE is singular (reference data_utils.py:632-659 — which lets one
+    singular pair downgrade every LATER pair to scatter; the fallback here
+    is per-pair, as its docstring intends)."""
     df_label = _subset_by_label(df_varfs, label)
     paths = []
     for i, varf1 in enumerate(varf_list):
@@ -193,16 +201,17 @@ def plot_jointplot(df_varfs, varf_list, label, title, out_dir, hue,
             filtered, p_filter = filter_long_tail_df(
                 df_label[["metaId", "scene", "label", varf1, varf2]],
                 [varf1, varf2])
+            pair_kind = kind
             try:
-                sns.jointplot(data=filtered, x=varf1, y=varf2, kind=kind,
-                              hue=hue)
+                sns.jointplot(data=filtered, x=varf1, y=varf2,
+                              kind=pair_kind, hue=hue)
             except np.linalg.LinAlgError:
-                kind = "scatter"
-                sns.jointplot(data=filtered, x=varf1, y=varf2, kind=kind,
-                              hue=hue)
+                pair_kind = "scatter"
+                sns.jointplot(data=filtered, x=varf1, y=varf2,
+                              kind=pair_kind, hue=hue)
             paths.append(_save_current(
                 fig, out_dir,
-                f"{title}_{hue}_{label}_{varf1}_{varf2}_{kind}_"
+                f"{title}_{hue}_{label}_{varf1}_{varf2}_{pair_kind}_"
                 f"{p_filter}.{format}"))
     return paths
 

@@ -37,6 +37,17 @@ from mst_tpu.train.freeze import merge_params
 from mst_tpu.train.losses import bce_with_logits
 
 
+class CWSParams(NamedTuple):
+    """CWS prior settings (config key CWS_params; reference
+    evaluate.py:177-181). A NamedTuple rather than the raw config dict so
+    StepConfig stays hashable — cached_eval_step keys its memo on scfg, and
+    a dict here would silently disable memoization for every config that
+    carries CWS_params (all inD yamls do, even with use_CWS off)."""
+    sigma_factor: float
+    ratio: float
+    rot: bool
+
+
 class StepConfig(NamedTuple):
     """Static hyper-parameters shared by train/eval steps (from the flat
     params dict; reference: config/*.yaml + models/trainer.py:80-87)."""
@@ -648,9 +659,12 @@ def _cws(key, goal_samples, traj, pred_wp_sigmoid, scfg: StepConfig, H, W):
     oriented multivariate Gaussian prior is evaluated batched over (K, B).
     """
     n_wp = len(scfg.waypoints)
-    sigma_factor = float(scfg.cws_params["sigma_factor"])
-    ratio = float(scfg.cws_params["ratio"])
-    rot = bool(scfg.cws_params["rot"])
+    cws = scfg.cws_params
+    if not isinstance(cws, CWSParams):  # raw config dict
+        cws = CWSParams(**cws)
+    sigma_factor = float(cws.sigma_factor)
+    ratio = float(cws.ratio)
+    rot = bool(cws.rot)
 
     goal_rep = jnp.tile(goal_samples, (scfg.n_traj, 1, 1, 1))  # (K,B,1,2)
     K, B = goal_rep.shape[0], goal_rep.shape[1]

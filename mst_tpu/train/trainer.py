@@ -274,7 +274,11 @@ class Experiment:
             use_ttst=bool(p.get("use_TTST", False)) and not for_validation,
             rel_threshold=float(p.get("rel_threshold", 0.002)),
             use_cws=bool(p.get("use_CWS", False)),
-            cws_params=p.get("CWS_params"),
+            cws_params=(steps_lib.CWSParams(
+                sigma_factor=float(p["CWS_params"]["sigma_factor"]),
+                ratio=float(p["CWS_params"]["ratio"]),
+                rot=bool(p["CWS_params"]["rot"]))
+                if p.get("CWS_params") else None),
             eval_k_chunk=int(eval_k_chunk if eval_k_chunk is not None
                              else p.get("eval_k_chunk", 0)),
             swap_semantic=bool(p.get("swap_semantic", False)),

@@ -38,6 +38,24 @@ def test_same_config_shares_step_and_executable():
     assert steps_lib.cached_eval_step(mcfg, scfg, True) is not a
 
 
+def test_ind_cws_config_stays_memoizable():
+    """Every inD yaml carries CWS_params (a dict in the raw config); the
+    trainer must normalize it to the hashable CWSParams or the memo is
+    silently disabled for all inD runs."""
+    from mst_tpu.train.trainer import Experiment
+
+    params = config_lib.get_params(
+        config_filename="inD_longterm_eval.yaml",
+        overrides=dict(segmentation_model_fp=None, batch_size=2, n_goal=3))
+    assert isinstance(params.get("CWS_params"), dict)  # raw config shape
+    exp = Experiment(params)
+    scfg = exp._step_config()
+    assert isinstance(scfg.cws_params, steps_lib.CWSParams)
+    hash(scfg)  # must not raise
+    a = steps_lib.cached_eval_step(exp.mcfg, scfg)
+    assert steps_lib.cached_eval_step(exp.mcfg, scfg) is a
+
+
 def test_param_swap_hits_compiled_executable():
     """Swapping checkpoints (same tree structure) must not re-trace."""
     params_dict, mcfg, scfg = _cfgs()

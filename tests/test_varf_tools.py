@@ -140,6 +140,48 @@ class TestVarfFigures:
                                         kind="scatter")
         assert len(paths) == 1 and os.path.exists(paths[0])
 
+    def test_figure_level_plots_close_their_figures(self, tmp_path):
+        """seaborn's pairplot/jointplot open their OWN figure; both must be
+        closed after saving or long analysis sweeps leak figures (the
+        reference leaks them, data_utils.py:628-629)."""
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
+        rng = np.random.default_rng(13)
+        df = _varf_table(rng)
+        varf_viz.plot_pairplot(df, ["avg_vel", "max_acc"], "All", "t",
+                               str(tmp_path), kind="scatter")
+        varf_viz.plot_jointplot(df, ["avg_vel", "max_acc"], "All", "t",
+                                str(tmp_path), hue="scene", kind="scatter")
+        assert plt.get_fignums() == []
+
+    def test_jointplot_kde_fallback_is_per_pair(self, tmp_path,
+                                                monkeypatch):
+        """One singular KDE pair must not downgrade later pairs to scatter
+        (deviation from the reference, whose `kind` mutation sticks —
+        data_utils.py:648)."""
+        import seaborn as sns
+
+        rng = np.random.default_rng(14)
+        df = _varf_table(rng)
+        df["avg_den"] = np.abs(rng.normal(3.0, 1.0, size=len(df)))
+        real = sns.jointplot
+        calls = {"n": 0}
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1 and kw.get("kind") == "kde":
+                raise np.linalg.LinAlgError("singular")
+            return real(*a, **{**kw, "kind": "scatter"})
+
+        monkeypatch.setattr(sns, "jointplot", flaky)
+        paths = varf_viz.plot_jointplot(
+            df, ["avg_vel", "max_acc", "avg_den"], "All", "t",
+            str(tmp_path), hue="scene", kind="kde")
+        names = [os.path.basename(p) for p in paths]
+        assert "_scatter_" in names[0]          # pair 1 fell back
+        assert all("_kde_" in n for n in names[1:])  # later pairs kept kde
+
     def test_scene_grid_excludes_quad(self, tmp_path):
         rng = np.random.default_rng(7)
         df = _varf_table(rng)
@@ -183,6 +225,14 @@ class TestGroupEqualization:
                  for f in os.listdir(out)}
         assert set(sizes) == {"Pedestrian.pkl", "Biker.pkl"}
         assert len(set(sizes.values())) == 1  # equalized
+
+    def test_same_group_size_with_no_matching_labels(self, tmp_path):
+        rng = np.random.default_rng(15)
+        df = _windowed_df(rng)
+        out = tmp_path / "empty"
+        trajectories.create_dataset_by_agent_type(
+            df, ["Cartwheel"], str(out), same_group_size=True)
+        assert os.listdir(out) == []
 
     def test_statistic_only_prints_and_writes_nothing(self, tmp_path,
                                                       capsys):
