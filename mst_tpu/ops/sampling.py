@@ -18,6 +18,33 @@ import jax
 import jax.numpy as jnp
 
 
+_SEARCH_BUCKET = 512
+
+
+def _bucketed_right_search(cdf, u):
+    """Per-row index of the first cdf entry > u (searchsorted side='right')
+    via two dense comparison passes instead of a serial binary search.
+
+    cdf: (B, N) non-decreasing rows; u: (B, K) queries with u < cdf[:, -1].
+    Pass 1 counts bucket-end values <= u over ceil(N/S) buckets of width
+    S; pass 2 gathers each query's single bucket window and counts its
+    entries <= u. Exact-match-verified against jnp.searchsorted including
+    ties on flat (zero-weight) runs.
+    """
+    B, N = cdf.shape
+    S = _SEARCH_BUCKET
+    nb = (N + S - 1) // S
+    cp = jnp.pad(cdf, ((0, 0), (0, nb * S - N)),
+                 constant_values=jnp.inf)
+    cp3 = cp.reshape(B, nb, S)
+    bounds = cp3[:, :, -1]  # (B, nb) bucket-end values
+    bidx = jnp.sum(u[:, :, None] >= bounds[:, None, :], axis=-1)  # (B, K)
+    bidx = jnp.minimum(bidx, nb - 1)
+    win = jax.vmap(lambda rows, bi: rows[bi])(cp3, bidx)  # (B, K, S)
+    off = jnp.sum(u[:, :, None] >= win, axis=-1)
+    return bidx * S + off
+
+
 def sample_heatmap(key, prob_map, num_samples: int, rel_threshold=None,
                    replacement: bool = False):
     """Sample coordinates from (possibly unnormalized) probability maps.
@@ -58,9 +85,14 @@ def sample_heatmap(key, prob_map, num_samples: int, rel_threshold=None,
         u = jax.random.uniform(
             key, (flat.shape[0], num_samples), dtype=jnp.float32,
             maxval=1.0) * cdf[:, -1:]
-        # side='right' skips zero-weight bins even on exact-equality ties
-        idx = jax.vmap(
-            lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
+        # two-level bucketed search with side='right' semantics (count of
+        # cdf entries <= u, which skips zero-weight bins even on
+        # exact-equality ties): jnp.searchsorted lowers to ~log2(H*W)
+        # serial gather rounds on TPU (~22 ms at TTST scale, the dominant
+        # TTST cost); two dense VPU comparison passes — queries vs bucket
+        # ends, then vs the selected bucket's window — return the exact
+        # same indices in ~2.5 ms (9x, benchmarks/ttst_cws_bench.py).
+        idx = _bucketed_right_search(cdf, u)
         idx = jnp.minimum(idx, H * W - 1)
     else:
         # Gumbel top-k == multinomial without replacement.

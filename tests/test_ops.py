@@ -127,6 +127,29 @@ class TestSampling:
         frac = np.mean((coords[:, 0] == 9) & (coords[:, 1] == 5))
         assert frac > 0.95
 
+    def test_bucketed_search_matches_searchsorted_exactly(self):
+        """The two-level replacement-sampling search must return the EXACT
+        searchsorted(side='right') indices — including ties landing on
+        flat zero-weight cdf runs — at sizes below, at, and above the
+        bucket width (ops/sampling.py:_bucketed_right_search)."""
+        from mst_tpu.ops.sampling import (_SEARCH_BUCKET,
+                                          _bucketed_right_search)
+
+        rng = np.random.default_rng(0)
+        for N in (37, _SEARCH_BUCKET, _SEARCH_BUCKET + 1, 7000):
+            w = rng.random((3, N)).astype(np.float32)
+            w[w < 0.6] = 0.0  # flat runs in the cdf
+            cdf = np.cumsum(w, axis=1)
+            u = rng.random((3, 500)).astype(np.float32) * cdf[:, -1:]
+            u[:, :20] = cdf[:, N // 3:N // 3 + 20]  # exact-tie probes
+            want = np.stack([np.searchsorted(c, q, side="right")
+                             for c, q in zip(cdf, u)])
+            got = np.asarray(_bucketed_right_search(
+                jnp.asarray(cdf), jnp.asarray(u)))
+            np.testing.assert_array_equal(
+                np.minimum(got, N - 1), np.minimum(want, N - 1),
+                err_msg=f"N={N}")
+
     def test_replacement_matches_multinomial_frequencies(self):
         """The inverse-CDF replacement sampler draws from the exact
         multinomial the probabilities define: empirical cell frequencies
