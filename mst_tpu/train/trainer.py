@@ -883,11 +883,21 @@ class Experiment:
             except Exception as ex:  # noqa: BLE001 — filtered below
                 if shrink is None or "RESOURCE_EXHAUSTED" not in str(ex):
                     raise
-                new_step = shrink()
-                if new_step is None:
-                    raise
-                step_holder[0] = new_step
-                h = pull(dispatch(i, db))
+                # async-runtime OOMs surface at pull time. First retry at
+                # the CURRENT rung — this batch may have been dispatched
+                # before an earlier shrink — then walk the remaining
+                # ladder; give up only when no smaller chunk exists.
+                while True:
+                    try:
+                        h = pull(dispatch(i, db))
+                        break
+                    except Exception as ex2:  # noqa: BLE001 — as above
+                        if "RESOURCE_EXHAUSTED" not in str(ex2):
+                            raise
+                        new_step = shrink()
+                        if new_step is None:
+                            raise
+                        step_holder[0] = new_step
             m = h["mask"].astype(bool)
             ade = h["ade"][m]
             fde = h["fde"][m]
@@ -917,9 +927,7 @@ class Experiment:
         # Measured on the tunneled v5e for the SDD-scale Experiment.test:
         # 38 -> 69 traj/s wall at depth 1 (ROADMAP round-3 notes); results
         # are identical, only the pull point moves.
-        from collections import deque
-
-        pending = deque()
+        pending = collections.deque()
         for i, (batch, db) in enumerate(zip(
                 batches, hostdata.prefetch_to_device(batches, make_db))):
             pending.append((i, batch, db, dispatch(i, db)))

@@ -276,6 +276,95 @@ def test_eval_oom_fallback_shrinks_k_chunk(tmp_path, dataset, monkeypatch):
     np.testing.assert_allclose(fde, want_fde, rtol=1e-5)
 
 
+class _BoomOnPull:
+    """Array stand-in whose host conversion raises like an async-runtime
+    OOM surfacing at pull time."""
+
+    def __array__(self, *a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: fake pull OOM")
+
+
+def test_eval_oom_at_pull_retries_current_rung_first(tmp_path, dataset,
+                                                     monkeypatch):
+    """A pull-time OOM first re-dispatches the batch at the CURRENT chunk
+    (a pipelined batch may predate an earlier shrink); the ladder only
+    drops a rung if that retry also exhausts memory."""
+    from mst_tpu.train import steps as steps_lib
+
+    df_train, df_val, df_test, images = dataset
+    params = make_params(tmp_path, n_goal=6)
+    exp = Experiment(params, images=images)
+    want_ade, want_fde, _, _ = exp.test(df_test, None)
+
+    real_make = steps_lib.make_eval_step
+    built_kcs = []
+    state = {"boomed": False}
+
+    def fake_make(mcfg, scfg, **kw):
+        built_kcs.append(scfg.eval_k_chunk)
+        step = real_make(mcfg, scfg, **kw)
+
+        def wrapped(*a, **k):
+            out = dict(step(*a, **k))
+            if not state["boomed"]:  # first pull of the run OOMs once
+                state["boomed"] = True
+                out["mask"] = _BoomOnPull()
+            return out
+
+        return wrapped
+
+    monkeypatch.setattr(steps_lib, "cached_eval_step", fake_make)
+    exp2 = Experiment(params, images=images)
+    exp2.model_params = exp.model_params
+    exp2.model_state = exp.model_state
+    ade, fde, _, _ = exp2.test(df_test, None)
+    monkeypatch.undo()
+    # retry at the current rung succeeded -> the ladder never shrank
+    assert built_kcs == [0]
+    np.testing.assert_allclose(ade, want_ade, rtol=1e-5)
+    np.testing.assert_allclose(fde, want_fde, rtol=1e-5)
+
+
+def test_eval_oom_at_pull_walks_whole_ladder(tmp_path, dataset,
+                                             monkeypatch):
+    """Persistent pull-time OOMs at the full-K chunk walk the shrink
+    ladder (not just one rung) until a chunk fits."""
+    from mst_tpu.train import steps as steps_lib
+
+    df_train, df_val, df_test, images = dataset
+    params = make_params(tmp_path, n_goal=6)  # ladder 6 -> 3 -> 2 -> 1
+    exp = Experiment(params, images=images)
+    want_ade, want_fde, _, _ = exp.test(df_test, None)
+
+    real_make = steps_lib.make_eval_step
+    built_kcs = []
+
+    def fake_make(mcfg, scfg, **kw):
+        built_kcs.append(scfg.eval_k_chunk)
+        step = real_make(mcfg, scfg, **kw)
+        if scfg.eval_k_chunk in (0, 3):  # kc=all-K and kc=3 both "OOM"
+
+            def oom_on_pull(*a, **k):
+                out = dict(step(*a, **k))
+                out["mask"] = _BoomOnPull()
+                return out
+
+            return oom_on_pull
+        return step
+
+    monkeypatch.setattr(steps_lib, "cached_eval_step", fake_make)
+    exp2 = Experiment(params, images=images)
+    exp2.model_params = exp.model_params
+    exp2.model_state = exp.model_state
+    ade, fde, _, _ = exp2.test(df_test, None)
+    monkeypatch.undo()
+    # walked two rungs, settled at kc=2 — and the still-pending batches
+    # dispatched at the stale chunk retried at kc=2 WITHOUT shrinking more
+    assert built_kcs == [0, 3, 2]
+    np.testing.assert_allclose(ade, want_ade, rtol=1e-5)
+    np.testing.assert_allclose(fde, want_fde, rtol=1e-5)
+
+
 def test_eval_oom_fallback_exhausted_reraises(tmp_path, dataset,
                                               monkeypatch):
     """If no smaller chunk exists (kc=1 still OOMs), the original error
