@@ -235,7 +235,23 @@ class Experiment:
                     if isinstance(self.model_state, dict) else None)
             else:
                 sem = img
-            cache[batch.scene_id] = np.asarray(sem)
+            sem = np.asarray(sem)
+            if sem.shape[-1] != self.mcfg.n_semantic_classes:
+                # fail fast with an actionable message — otherwise this
+                # surfaces as an opaque conv lhs/rhs channel mismatch deep
+                # inside the (possibly packed) encoder
+                source = ("segmentation backbone output"
+                          if "segmentation" in self.model_params else
+                          "scene image (identity backbone)")
+                raise ValueError(
+                    f"semantic map for scene {batch.scene_id!r} has "
+                    f"{sem.shape[-1]} channels but the model expects "
+                    f"n_semantic_classes={self.mcfg.n_semantic_classes} "
+                    f"(source: {source}). Set --n_semantic_classes to "
+                    f"match (plain RGB scenes without a segmentation "
+                    f"checkpoint have 3), or pass the right "
+                    f"--segmentation_model_fp.")
+            cache[batch.scene_id] = sem
         return cache[batch.scene_id]
 
     def _eval_shrinker(self, make_step):

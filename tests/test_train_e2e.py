@@ -276,6 +276,17 @@ def test_eval_oom_fallback_shrinks_k_chunk(tmp_path, dataset, monkeypatch):
     np.testing.assert_allclose(fde, want_fde, rtol=1e-5)
 
 
+def test_semantic_channel_mismatch_fails_fast(tmp_path, dataset):
+    """n_semantic_classes not matching the actual semantic-map channels
+    must raise an actionable error, not an opaque conv-shape failure deep
+    in the (packed) encoder."""
+    df_train, df_val, df_test, images = dataset
+    params = make_params(tmp_path, n_semantic_classes=6)  # images are RGB
+    exp = Experiment(params, images=images)
+    with pytest.raises(ValueError, match="n_semantic_classes"):
+        exp.test(df_test, None)
+
+
 class _BoomOnPull:
     """Array stand-in whose host conversion raises like an async-runtime
     OOM surfacing at pull time."""
