@@ -358,6 +358,18 @@ def measure_ttst(n_iter=10):
 
 
 def main():
+    # dispatch-rate legs are host-sensitive: a concurrent CPU-bound
+    # process on a small host starves the per-step dispatch loop and
+    # deflates the train leg (measured 287 -> 218 traj/s under a parallel
+    # pytest run on a 1-core VM). Flag it rather than silently reporting
+    # a contended number.
+    try:
+        load = os.getloadavg()[0]
+        if load > 1.5:
+            _log(f"WARNING: host 1-min loadavg {load:.1f} — concurrent "
+                 f"CPU load starves step dispatch; numbers may read low")
+    except OSError:
+        pass
     t0 = time.perf_counter()
     _with_deadline(_check_pallas_softargmax, 300, "pallas crosscheck")
     bf16 = measure_jax(compute_dtype="bfloat16")  # headline leg, unguarded
