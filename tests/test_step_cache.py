@@ -56,6 +56,19 @@ def test_ind_cws_config_stays_memoizable():
     assert steps_lib.cached_eval_step(exp.mcfg, scfg) is a
 
 
+def test_unhashable_scfg_falls_back_to_uncached():
+    """An unhashable StepConfig field (e.g. a caller passing a list of
+    waypoints or a raw dict) must degrade to uncached construction, not
+    raise."""
+    _, mcfg, scfg = _cfgs()
+    weird = scfg._replace(cws_params={"sigma_factor": 6, "ratio": 2,
+                                      "rot": True})
+    a = steps_lib.cached_eval_step(mcfg, weird)
+    b = steps_lib.cached_eval_step(mcfg, weird)
+    assert a is not b  # no memo, but both are working steps
+    assert callable(a.forward)
+
+
 def test_param_swap_hits_compiled_executable():
     """Swapping checkpoints (same tree structure) must not re-trace."""
     params_dict, mcfg, scfg = _cfgs()
