@@ -1,26 +1,52 @@
 """Variation-factor dataset filter CLI (reference utils/filter_dataset.py).
 
-python -m mst_tpu.data.filter_dataset --data_path in.pkl --out_path out.pkl \
-    --varf avg_vel --lower 0.5 --upper 3.5
+Two modes:
+
+* table mode (the reference CLI surface, used by the preprocessing
+  pipelines): filter against a precomputed varf pkl with optional
+  one-sided bounds, writing `<data>_filter.pkl` next to the input —
+  python -m mst_tpu.data.filter_dataset --data_path car.pkl \
+      --varf_path varf_8_12_2_5fps.pkl --lower_bound 0.2
+* recompute mode (no --varf_path): derive the stats from the data —
+  python -m mst_tpu.data.filter_dataset --data_path in.pkl \
+      --varf avg_vel --lower 0.5 --upper 3.5 [--out_path out.pkl]
 """
 
 import argparse
 
-from mst_tpu.data.splits import filter_dataset_by_varf
+from mst_tpu.data.splits import filter_by_varf_table, filter_dataset_by_varf
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_path", required=True)
-    parser.add_argument("--out_path", required=True)
+    parser.add_argument("--out_path", default=None,
+                        help="default: <data_path>_filter.pkl")
+    # table mode (reference filter_dataset.py:21-34 flag surface)
+    parser.add_argument("--varf_path", default=None,
+                        help="precomputed varf pkl; enables table mode")
+    parser.add_argument("--factor", default="avg_vel")
+    parser.add_argument("--lower_bound", default=None, type=float)
+    parser.add_argument("--upper_bound", default=None, type=float)
+    # recompute mode
     parser.add_argument("--varf", default="avg_vel")
-    parser.add_argument("--lower", type=float, required=True)
-    parser.add_argument("--upper", type=float, required=True)
+    parser.add_argument("--lower", type=float, default=None)
+    parser.add_argument("--upper", type=float, default=None)
     parser.add_argument("--obs_len", default=None, type=int)
     args = parser.parse_args()
-    df = filter_dataset_by_varf(args.data_path, args.out_path, args.varf,
-                                args.lower, args.upper, args.obs_len)
-    print(f"Filtered {df.metaId.nunique()} trajectories -> {args.out_path}")
+
+    out_path = args.out_path or args.data_path.replace(".pkl", "_filter.pkl")
+    if args.varf_path is not None:
+        df = filter_by_varf_table(args.data_path, args.varf_path,
+                                  args.lower_bound, args.upper_bound,
+                                  args.factor, out_path)
+    else:
+        if args.lower is None or args.upper is None:
+            parser.error("recompute mode (no --varf_path) requires "
+                         "--lower and --upper")
+        df = filter_dataset_by_varf(args.data_path, out_path, args.varf,
+                                    args.lower, args.upper, args.obs_len)
+    print(f"Filtered {df.metaId.nunique()} trajectories -> {out_path}")
 
 
 if __name__ == "__main__":

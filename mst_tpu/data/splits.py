@@ -179,12 +179,37 @@ def split_train_val_test_randomly(data_dir, data_filename, val_split,
 
 
 def filter_dataset_by_varf(data_path, out_path, varf, lower, upper, obs_len):
-    """reference utils/filter_dataset.py:5-18."""
+    """reference utils/filter_dataset.py:5-18 (recompute variant: derives
+    the variation-factor stats from the data itself instead of a
+    precomputed varf table)."""
     from mst_tpu.data.trajectories import aggregate_per_varf_value
 
     df = pd.read_pickle(data_path)
     stats = aggregate_per_varf_value(df, varf, obs_len)
     keep = stats[(stats[varf] >= lower) & (stats[varf] <= upper)].metaId
     out = reduce_df_meta_ids(df, keep.to_numpy())
+    out.to_pickle(out_path)
+    return out
+
+
+def filter_by_varf_table(data_path, varf_path, lower_bound=None,
+                         upper_bound=None, factor="avg_vel", out_path=None):
+    """Filter a dataset against a precomputed variation-factor table
+    (reference utils/filter_dataset.py:5-18 `filter_by_avg_vel`): keep the
+    trajectories whose `factor` value in the varf pkl (written by the
+    dataset builders / generate_varf) falls inside the optional one- or
+    two-sided bounds. Writes `<data>_filter.pkl` next to the input like
+    the reference unless out_path overrides it."""
+    data = pd.read_pickle(data_path)
+    varf = pd.read_pickle(varf_path)
+    varf = varf[varf.metaId.isin(data.metaId.unique())]
+    if lower_bound is not None:
+        varf = varf[varf[factor] >= lower_bound]
+    if upper_bound is not None:
+        varf = varf[varf[factor] <= upper_bound]
+    out = data[data.metaId.isin(varf.metaId.unique())]
+    print(f"Before filter: #={data.shape[0]}")
+    print(f"After filter: #={out.shape[0]}")
+    out_path = out_path or data_path.replace(".pkl", "_filter.pkl")
     out.to_pickle(out_path)
     return out

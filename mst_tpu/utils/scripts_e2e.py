@@ -60,6 +60,25 @@ steps=20
 test_splits=4
 val_split=0.34
 save_every_n=1000
+# preprocessing-pipeline split sizes: the reference's absolute val/test
+# counts (80/500, 20/114, ...) exceed the miniature fixtures' trajectory
+# counts, so the sweep runs the same stages with ratio splits
+prep_dc0_val=0.2
+prep_dc0_test=0.3
+prep_low_val=0.2
+prep_low_test=0.3
+prep_high_val=0.2
+prep_high_test=0.3
+prep_s1ped_val=0.2
+prep_s1ped_test=0.3
+prep_s2ped_val=0.2
+prep_s2ped_test=0.3
+prep_s3ped_val=0.2
+prep_s3ped_test=0.3
+prep_truck_val=0.2
+prep_truck_test=0.3
+prep_stped_val=0.2
+prep_stped_test=0.3
 """
 
 
@@ -280,90 +299,117 @@ def expected_runs(script_rel, repo_root=REPO_ROOT):
 # raw-data fixtures + preprocessing pipelines
 # ---------------------------------------------------------------------------
 
+def _reflect(p, lo, hi):
+    """Triangle-wave reflection of positions into [lo, hi]: keeps a
+    constant-speed track inside the canvas without the velocity-zeroing
+    that border clipping causes (avg_vel drives the style buckets)."""
+    span = hi - lo
+    q = np.mod(np.asarray(p, dtype=np.float64) - lo, 2 * span)
+    return lo + np.where(q > span, 2 * span - q, q)
+
+
 def build_raw_fixtures(dst, seed=11):
     """Miniature RAW datasets for the preprocessing suites: an SDD
-    annotations tree (scripts/sdd/preprocessing.sh) and the 33 inD
-    recording CSV pairs (scripts/inD/preprocessing.sh)."""
+    annotations tree (scripts/sdd/preprocessing.sh — all 8 scenes the
+    multiscene_easy/dc_013 stages reference) and the 33 inD recording CSV
+    pairs + scene background images (scripts/inD/preprocessing.sh)."""
+    import cv2
+    import pandas as pd
+
     rng = np.random.default_rng(seed)
     dst = pathlib.Path(dst)
 
     # --- SDD: annotations/<scene>/video<N>/annotations.txt -----------------
-    # step=12 x window=20 needs >= 229 raw frames. The prep sandbox uses
-    # its own (larger) canvas: avg_vel is measured in RAW px/frame and the
-    # bucket ranges are (0.5, 3.5) / (4, 8), so tracks must travel far
-    n_frames, hw = 240, (720, 1280)
-    for scene, video in (("deathCircle", "video0"), ("deathCircle", "video1")):
+    # short-term step=12 x window=20 needs >= 229 raw frames; LONG-term
+    # step=30 x window=35 needs >= 1021, so 1080 serves both. avg_vel is
+    # measured in RAW px/frame and the bucket ranges are (0.5, 3.5) /
+    # (4, 8); tracks bounce off the borders (reflection) so every window
+    # keeps its nominal speed regardless of travel distance.
+    n_frames, hw = 1080, (720, 1280)
+    frames_idx = np.arange(n_frames)
+    sdd_scenes = (("deathCircle", "video0"), ("deathCircle", "video1"),
+                  ("deathCircle", "video3"), ("gates", "video1"),
+                  ("gates", "video3"), ("gates", "video4"),
+                  ("little", "video0"), ("little", "video3"))
+    for scene, video in sdd_scenes:
         d = dst / "data" / "sdd" / "raw" / "annotations" / scene / video
         d.mkdir(parents=True, exist_ok=True)
         rows = []
         tid = 0
         for label in ("Pedestrian", "Biker"):
             for j in range(3):
-                # spread speeds across the velocity-bucket ranges
-                # ((0.5, 3.5) and (4, 8) px/step after the 12-frame
-                # downsample) so the avg_vel datasets are non-empty;
-                # start positions leave room for the full travel (clipping
-                # at borders would zero the measured velocity)
+                # spread speeds across the velocity buckets so the
+                # avg_vel datasets (dc_013 low/high) are non-empty
                 speed = (1.0, 2.5, 4.8)[j]
-                # mostly-horizontal so even the fast tracks fit the canvas
                 vx = speed * rng.choice([-1.0, 1.0])
                 vy = rng.uniform(-0.5, 0.5)
-                x = rng.uniform(5 + max(0.0, -vx * n_frames),
-                                hw[1] - 5 - max(0.0, vx * n_frames))
-                y = rng.uniform(5 + max(0.0, -vy * n_frames),
-                                hw[0] - 5 - max(0.0, vy * n_frames))
+                cx = _reflect(rng.uniform(6, hw[1] - 6) + vx * frames_idx,
+                              6, hw[1] - 6)
+                cy = _reflect(rng.uniform(6, hw[0] - 6) + vy * frames_idx,
+                              6, hw[0] - 6)
                 for f in range(n_frames):
-                    cx = np.clip(x + vx * f, 2, hw[1] - 2)
-                    cy = np.clip(y + vy * f, 2, hw[0] - 2)
-                    rows.append(f"{tid} {cx - 2:.1f} {cy - 2:.1f} "
-                                f"{cx + 2:.1f} {cy + 2:.1f} {f} 0 0 0 "
+                    rows.append(f"{tid} {cx[f] - 2:.1f} {cy[f] - 2:.1f} "
+                                f"{cx[f] + 2:.1f} {cy[f] + 2:.1f} {f} 0 0 0 "
                                 f'"{label}"')
                 tid += 1
         (d / "annotations.txt").write_text(
             "trackId xmin ymin xmax ymax frame lost occluded generated "
             "label\n" + "\n".join(rows) + "\n")
-        import cv2
         img = (rng.uniform(0, 1, size=(*hw, 3)) * 255).astype(np.uint8)
         cv2.imwrite(str(d / "reference.jpg"), img)
 
     # --- inD: <rec>_tracks.csv + <rec>_tracksMeta.csv -----------------------
-    # step=25 x window=35 needs >= 851 raw frames; 900 gives 1 window
+    # long-term step=25 x window=35 needs >= 851 raw frames; 900 gives 1
+    # window. Speeds (m/frame) chosen so every label clears the
+    # avg_vel >= 0.2 px/frame filter after the meter->px conversion
+    # (scene1 ~6.6 px/m, others ~10.2 px/m).
     ind_dir = dst / "data" / "inD-dataset-v1.0" / "data"
     ind_dir.mkdir(parents=True, exist_ok=True)
     n_frames = 900
+    frames_idx = np.arange(n_frames)
     for rec_num in range(33):
         rec = f"{rec_num:02d}"
         tracks, metas = [], []
-        for tid, label in enumerate(("pedestrian", "car", "truck_bus")):
-            x = rng.uniform(3, 12)
-            y = -rng.uniform(3, 12)  # builder flips y; raw yCenter <= 0
-            vx, vy = rng.uniform(-0.004, 0.004, size=2)
+        for tid, (label, speed) in enumerate((("pedestrian", 0.05),
+                                              ("car", 0.12),
+                                              ("truck_bus", 0.09))):
+            ang = rng.uniform(0, 2 * np.pi)
+            xs = _reflect(rng.uniform(1, 19) + speed * np.cos(ang)
+                          * frames_idx, 0.5, 20.0)
+            ys = _reflect(-rng.uniform(1, 19) + speed * np.sin(ang)
+                          * frames_idx, -20.0, -0.5)  # raw yCenter <= 0
             for f in range(n_frames):
-                tracks.append((rec_num, tid, f,
-                               np.clip(x + vx * f, 0.5, 20),
-                               np.clip(y + vy * f, -20, -0.5)))
+                tracks.append((rec_num, tid, f, xs[f], ys[f]))
             metas.append((tid, label, n_frames))
-        import pandas as pd
         pd.DataFrame(tracks, columns=[
             "recordingId", "trackId", "frame", "xCenter", "yCenter"
         ]).to_csv(ind_dir / f"{rec}_tracks.csv", index=False)
         pd.DataFrame(metas, columns=["trackId", "class", "numFrames"]
                      ).to_csv(ind_dir / f"{rec}_tracksMeta.csv", index=False)
+    # scene background images the pipeline's image-prep stage copies
+    for bg in ("00", "07", "18", "30"):
+        img = (rng.uniform(0, 1, size=(96, 160, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(ind_dir / f"{bg}_background.png"), img)
     return dst
 
 
-def run_preprocessing(sandbox, repo_root=REPO_ROOT, timeout=1800):
+def run_preprocessing(sandbox, repo_root=REPO_ROOT, timeout=1800,
+                      env_extra=None):
     """Run both preprocessing pipelines against the raw fixtures.
 
     Uses an isolated `prep/` sandbox: the SDD builder walks EVERY scene
     under raw/annotations, so the experiment fixtures' image-only scene
     dirs must not be visible to it. Returns {script: (rc, output)}."""
     prep = pathlib.Path(sandbox) / "prep"
-    if not prep.exists():
-        build_raw_fixtures(prep)
+    if prep.exists():  # the mv/rm stages are not rerunnable in place
+        import shutil
+        shutil.rmtree(prep)
+    build_raw_fixtures(prep)
+    (prep / "overrides.sh").write_text(_GRID_OVERRIDES)
     out = {}
     for rel in ("scripts/sdd/preprocessing.sh", "scripts/inD/preprocessing.sh"):
-        out[rel] = run_script(rel, prep, repo_root, timeout=timeout)
+        out[rel] = run_script(rel, prep, repo_root, timeout=timeout,
+                              env_extra=env_extra or {"JAX_PLATFORMS": "cpu"})
     return out
 
 
@@ -387,6 +433,12 @@ def _main():
     parser.add_argument("--skip_preprocessing", action="store_true")
     parser.add_argument("--resume", action="store_true",
                         help="skip suites already ok in --out")
+    parser.add_argument("--platform", default="cpu",
+                        help="JAX_PLATFORMS for every CLI subprocess "
+                             "(explicit, so an ambient JAX_PLATFORMS=axon "
+                             "from the TPU tunnel cannot silently slow "
+                             "the sweep; pass 'axon'/'tpu' to validate "
+                             "the CLI flow on real hardware)")
     parser.add_argument("--resume_log", default=None,
                         help="seed --resume state from a sweep stdout log"
                              " (recovers an interrupted run's ok lines)")
@@ -441,7 +493,8 @@ def _main():
         pass
     else:
         for rel, (rc, out) in run_preprocessing(
-                sb, timeout=args.timeout).items():
+                sb, timeout=args.timeout,
+                env_extra={"JAX_PLATFORMS": args.platform}).items():
             ok = rc == 0
             results[rel] = {"rc": rc, "ok": ok,
                             "tail": out[-2000:] if not ok else ""}
@@ -452,7 +505,9 @@ def _main():
             continue
         t = time.time()
         try:
-            rc, out = run_script(rel, sb, timeout=args.timeout)
+            rc, out = run_script(
+                rel, sb, timeout=args.timeout,
+                env_extra={"JAX_PLATFORMS": args.platform})
         except subprocess.TimeoutExpired:
             rc, out = -9, "TIMEOUT"
         n_avg = len(re.findall(r"Average performance \(by ", out))

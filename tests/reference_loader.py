@@ -89,6 +89,7 @@ def load_reference():
     import utils.data_utils as ref_data_utils
     import utils.evaluate as ref_evaluate
     import utils.extract_log as ref_extract_log
+    import utils.filter_dataset as ref_filter_dataset
     import utils.image_utils as ref_image_utils
     import utils.kmeans as ref_kmeans
     import utils.softargmax as ref_softargmax
@@ -98,6 +99,7 @@ def load_reference():
         data_utils=ref_data_utils,
         evaluate=ref_evaluate,
         extract_log=ref_extract_log,
+        filter_dataset=ref_filter_dataset,
         image_utils=ref_image_utils,
         kmeans=ref_kmeans,
         softargmax=ref_softargmax,

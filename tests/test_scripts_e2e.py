@@ -70,16 +70,25 @@ def test_preprocessing_pipelines(sandbox):
     for rel, (rc, out) in results.items():
         assert rc == 0, f"{rel} rc={rc}\n{out[-3000:]}"
     prep = os.path.join(sandbox, "prep")
-    assert os.path.exists(os.path.join(
-        prep, "data/sdd/filter/shortterm/agent_type/deathCircle_0",
-        "Biker.pkl"))
-    # the velocity-bucket datasets too (biker_low_to_high's pretrain
-    # reads avg_vel/Biker/0.5_3.5.pkl)
-    for f in ("0.5_3.5.pkl", "4_8.pkl"):
-        assert os.path.exists(os.path.join(
-            prep, "data/sdd/filter/shortterm/avg_vel/Biker", f)), f
-    import glob
-    ind_pkls = glob.glob(os.path.join(
-        prep, "data/inD-dataset-v1.0/filter/longterm", "**", "*.pkl"),
-        recursive=True)
-    assert ind_pkls, "inD preprocessing produced no pkl outputs"
+    # every terminal artifact the reference pipelines produce, with
+    # non-empty train splits where split_dataset ran (reference
+    # scripts/{sdd,inD}/preprocessing.sh stage-for-stage)
+    import pandas as pd
+    for rel in (
+            "sdd/filter/shortterm/agent_type/deathCircle_0/Biker/train.pkl",
+            "sdd/filter/shortterm/agent_type/multiscene_easy/Biker/train.pkl",
+            "sdd/filter/shortterm/avg_vel/dc_013/Biker/0.5_3.5/train.pkl",
+            "sdd/filter/shortterm/avg_vel/dc_013/Biker/4_8/train.pkl",
+            "sdd/filter/longterm/agent_type/Pedestrian_filter/train.pkl",
+            "inD-dataset-v1.0/filter/longterm/agent_type/scene1/pedestrian/train.pkl",
+            "inD-dataset-v1.0/filter/longterm/agent_type/scene234/pedestrian/train.pkl",
+            "inD-dataset-v1.0/filter/longterm/agent_type/scene124/pedestrian/train.pkl",
+            "inD-dataset-v1.0/filter/longterm/agent_type/scene134/pedestrian/train.pkl",
+            "inD-dataset-v1.0/filter/shortterm/agent_type/scene1/car_filter/train.pkl",
+            "inD-dataset-v1.0/filter/shortterm/agent_type/scene1/truck_bus_filter/train.pkl",
+            "inD-dataset-v1.0/filter/shortterm/agent_type/scene1/pedestrian_filter/train.pkl",
+            "inD-dataset-v1.0/filter/shortterm/agent_type/scene1234/pedestrian.pkl",
+    ):
+        path = os.path.join(prep, "data", rel)
+        assert os.path.exists(path), rel
+        assert pd.read_pickle(path).metaId.nunique() > 0, rel

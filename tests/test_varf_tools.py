@@ -265,3 +265,37 @@ class TestSplitHelpers:
         assert [p.vel_range.unique().tolist() for p in parts] == \
             [["0.5_3.5"], ["4_8"]]
         assert sum(len(p) for p in parts) == len(df)
+
+
+class TestFilterByVarfTable:
+    """filter_by_varf_table vs the reference's filter_by_avg_vel
+    (reference utils/filter_dataset.py:5-18), incl. the one-sided-bound
+    cases the preprocessing pipelines use (--lower_bound 0.2 only)."""
+
+    @pytest.mark.parametrize("bounds", [(0.2, None), (None, 3.0),
+                                        (0.5, 2.5), (None, None)])
+    def test_matches_reference(self, tmp_path, ref, bounds):
+        rng = np.random.default_rng(13)
+        df = _windowed_df(rng, n_meta=30)
+        varf = pd.DataFrame({
+            "metaId": np.arange(40),  # superset of the data's ids
+            "avg_vel": rng.uniform(0, 4, size=40),
+        })
+        lower, upper = bounds
+        for sub, fn in (("got", None), ("want", None)):
+            d = tmp_path / sub
+            d.mkdir()
+            df.to_pickle(d / "data.pkl")
+            varf.to_pickle(d / "varf.pkl")
+        splits.filter_by_varf_table(
+            str(tmp_path / "got" / "data.pkl"),
+            str(tmp_path / "got" / "varf.pkl"), lower, upper)
+        ref.filter_dataset.filter_by_avg_vel(
+            str(tmp_path / "want" / "data.pkl"),
+            str(tmp_path / "want" / "varf.pkl"), lower, upper)
+        got = pd.read_pickle(tmp_path / "got" / "data_filter.pkl")
+        want = pd.read_pickle(tmp_path / "want" / "data_filter.pkl")
+        pd.testing.assert_frame_equal(got, want)
+        if lower is not None and upper is not None:
+            kept = varf[(varf.avg_vel >= lower) & (varf.avg_vel <= upper)]
+            assert set(got.metaId) == set(kept.metaId) & set(df.metaId)
