@@ -7,7 +7,7 @@ batch_size=10
 n_round=3
 network=original
 load_data=predefined
-dataset_path=filter/shortterm/agent_type/scene1/pedestrian
+dataset_path=filter/shortterm/agent_type/scene1/pedestrian_filter_s1_t524
 extra_flags=""
 list_seed=(1)
 config_filename=inD_shortterm_eval.yaml

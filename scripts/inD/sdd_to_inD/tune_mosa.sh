@@ -7,19 +7,19 @@ batch_size=10
 n_round=3
 network=original
 load_data=predefined
-dataset_path=filter/shortterm/agent_type/scene1/pedestrian
+dataset_path=filter/shortterm/agent_type/scene1/pedestrian_filter
 extra_flags=""
-list_seed=(1 2 3 4 5)
+list_seed=(1)
 config_filename=inD_shortterm_train.yaml
-n_epoch=100
-n_early_stop=30
+n_epoch=300
+n_early_stop=3000
 steps=20
 pretrained_ckpt=ckpts/sdd__ynet__ped.npz
 ckpt_path=ckpts/inD/sdd_to_inD
-list_train_net=(mosa_1)
+list_train_net=(mosa_1 mosa_2)
 list_position=("0 1 2 3 4")
 list_n_train_batch=(2)
-list_lr=(0.003)
+list_lr=(0.0005 0.001 0.005)
 
 # harness hook: reduced-grid overrides for the synthetic e2e sweep
 # (mst_tpu/utils/scripts_e2e.py; no-op outside the harness)

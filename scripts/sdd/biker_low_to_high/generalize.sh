@@ -7,7 +7,7 @@ batch_size=10
 n_round=3
 network=fusion
 load_data=predefined
-dataset_path=filter/shortterm/avg_vel/Biker/4_8
+dataset_path=filter/shortterm/avg_vel/dc_013/Biker/4_8
 extra_flags="--n_fusion 2"
 list_seed=(1)
 config_filename=sdd_shortterm_eval.yaml

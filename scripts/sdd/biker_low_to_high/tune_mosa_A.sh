@@ -7,19 +7,19 @@ batch_size=10
 n_round=3
 network=fusion
 load_data=predefined
-dataset_path=filter/shortterm/avg_vel/Biker/4_8
+dataset_path=filter/shortterm/avg_vel/dc_013/Biker/4_8
 extra_flags="--n_fusion 2"
-list_seed=(1 2 3 4 5)
+list_seed=(1 2 3)
 config_filename=sdd_shortterm_train.yaml
 n_epoch=100
 n_early_stop=30
 steps=20
 pretrained_ckpt=ckpts/sdd__ynetmod__biker_low.npz
 ckpt_path=ckpts/sdd/biker_low_to_high
-list_train_net=(mosa_1)
+list_train_net=(mosa_2)
 list_position=("motion")
 list_n_train_batch=(2)
-list_lr=(0.003)
+list_lr=(0.0005)
 
 # harness hook: reduced-grid overrides for the synthetic e2e sweep
 # (mst_tpu/utils/scripts_e2e.py; no-op outside the harness)

@@ -19,7 +19,7 @@ ckpt_path=ckpts/sdd/ped_to_biker
 list_train_net=(parallelLayer_3x3)
 list_position=("0 1 2 3 4")
 list_n_train_batch=(3)
-list_lr=(0.003)
+list_lr=(0.00005)
 
 # harness hook: reduced-grid overrides for the synthetic e2e sweep
 # (mst_tpu/utils/scripts_e2e.py; no-op outside the harness)

@@ -9,7 +9,7 @@ network=fusion
 load_data=sequential
 dataset_path=filter/shortterm/agent_type
 extra_flags="--n_fusion 2"
-list_seed=(1)
+list_seed=(1 2 3)
 config_filename=sdd_shortterm_train.yaml
 train_files=Pedestrian.pkl
 val_files=Pedestrian.pkl

@@ -9,10 +9,10 @@ network=fusion
 load_data=predefined
 dataset_path=filter/shortterm/agent_type/deathCircle_0/Biker
 extra_flags="--n_fusion 2"
-list_seed=(1 2 3 4 5)
+list_seed=(1 2 3)
 config_filename=sdd_shortterm_train.yaml
 n_epoch=100
-n_early_stop=30
+n_early_stop=100
 steps=20
 pretrained_ckpt=ckpts/sdd__ynetmod__ped.npz
 ckpt_path=ckpts/sdd/ped_to_biker_modular

@@ -31,6 +31,7 @@ REPRESENTATIVE = [
     "scripts/sdd/ped_to_biker/pretrain.sh",         # sequential load + augment
     "scripts/inD/scene1_car_to_truck/ynetmod/tune_mosa_S_A_F.sh",  # inD ynetmod
     "scripts/inD/sdd_to_inD/generalize.sh",         # cross-dataset eval
+    "scripts/sdd/biker_low_to_high/tune_mosa_S.sh", # dc_013 avg_vel bucket path
 ]
 
 
