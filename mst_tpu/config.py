@@ -67,6 +67,13 @@ def get_parser(is_train: bool) -> argparse.ArgumentParser:
                         help="write structured per-epoch train/val metrics"
                              " as JSON lines to this path (alongside the"
                              " reference-compatible stdout)")
+    parser.add_argument("--eth_world_coords", action="store_true",
+                        help="ETH/UCY only: report ADE/FDE in consistent"
+                             " world meters (homography applied to both"
+                             " prediction and ground truth). Default is"
+                             " PIXEL space — the bit-for-bit parity path"
+                             " vs the reference's evaluate.py (see"
+                             " docs/parity.md, ETH deviation note)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize the train forward (jax.checkpoint): recompute encoder/decoder activations in the backward instead of holding them in HBM — for big-scene/big-batch training, pairs with --mesh_axes data space")
     if is_train:
@@ -118,7 +125,7 @@ _DEFAULTS = dict(
     network="original", swap_semantic=False, window_size=9, smooth_val=False,
     e_unfreeze=10000, n_round=1, position=[], train_net="train",
     n_fusion=None, use_features_only=False, compute_dtype="float32",
-    mesh_shape=None, mesh_axes=None, remat=False,
+    mesh_shape=None, mesh_axes=None, remat=False, eth_world_coords=False,
     segmentation_model_fp=None, eval_k_chunk=0,
     cross_scene_batching=False, max_scenes_per_batch=8, fused=False,
     metrics_jsonl=None,

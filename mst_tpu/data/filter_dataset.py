@@ -35,8 +35,24 @@ def main():
     parser.add_argument("--obs_len", default=None, type=int)
     args = parser.parse_args()
 
-    out_path = args.out_path or args.data_path.replace(".pkl", "_filter.pkl")
+    if args.out_path is None:
+        if not args.data_path.endswith(".pkl"):
+            parser.error("--data_path must end in .pkl to derive the default "
+                         "output path; pass --out_path explicitly otherwise")
+        out_path = args.data_path[:-len(".pkl")] + "_filter.pkl"
+    else:
+        out_path = args.out_path
     if args.varf_path is not None:
+        # The two modes share a parser; reject recompute-only flags in table
+        # mode instead of silently ignoring them (e.g. --lower vs --lower_bound).
+        bad = [name for name, val, default in
+               (("--lower", args.lower, None), ("--upper", args.upper, None),
+                ("--obs_len", args.obs_len, None), ("--varf", args.varf, "avg_vel"))
+               if val != default]
+        if bad:
+            parser.error("table mode (--varf_path) uses --lower_bound/"
+                         "--upper_bound/--factor; got recompute-mode flag(s): "
+                         + ", ".join(bad))
         df = filter_by_varf_table(args.data_path, args.varf_path,
                                   args.lower_bound, args.upper_bound,
                                   args.factor, out_path)

@@ -308,7 +308,12 @@ class Experiment:
             segment_in_step=segment_in_step,
             segment_train_mode=segment_train_mode,
             use_features_only=bool(p.get("use_features_only", False)),
-            world_coords=(p["dataset_name"].lower() == "eth"),
+            # ETH metrics default to PIXEL space (the bit-for-bit parity
+            # path vs reference evaluate.py); consistent world-meter
+            # metrics are opt-in via --eth_world_coords (docs/parity.md,
+            # "Known deviation: ETH/UCY world-coordinate metrics").
+            world_coords=(p["dataset_name"].lower() == "eth"
+                          and bool(p.get("eth_world_coords", False))),
             compute_dtype=_parse_compute_dtype(
                 p.get("compute_dtype", "float32")),
             remat=bool(p.get("remat", False)),

@@ -402,6 +402,13 @@ def run_preprocessing(sandbox, repo_root=REPO_ROOT, timeout=1800,
     dirs must not be visible to it. Returns {script: (rc, output)}."""
     prep = pathlib.Path(sandbox) / "prep"
     if prep.exists():  # the mv/rm stages are not rerunnable in place
+        # Only wipe directories this harness built (marked by overrides.sh);
+        # refuse to delete a user directory that happens to be named prep/.
+        if not (prep / "overrides.sh").exists():
+            raise RuntimeError(
+                f"{prep} exists but lacks the harness marker overrides.sh; "
+                "refusing to delete a directory this harness did not build. "
+                "Remove it manually or point --sandbox elsewhere.")
         import shutil
         shutil.rmtree(prep)
     build_raw_fixtures(prep)

@@ -72,6 +72,39 @@ def _build_loralib_stub():
     return mod
 
 
+def _build_smp_stub():
+    """Minimal segmentation_models_pytorch.encoders.get_preprocessing_fn.
+
+    Only used by the reference's preprocess_image_for_segmentation
+    (utils/image_utils.py:66-82, function-local import). The real smp
+    preprocessing for (resnet101, imagenet) is pretrainedmodels'
+    preprocess_input with input_space='RGB' (no channel swap),
+    input_range=(0, 1) (divide by 255 when max > 1), then the imagenet
+    mean/std normalization — reproduced verbatim here so the reference
+    trainer's full prepare_data path can run as an oracle.
+    """
+    import numpy as np
+
+    mean = np.array([0.485, 0.456, 0.406])
+    std = np.array([0.229, 0.224, 0.225])
+
+    def get_preprocessing_fn(encoder, pretrained="imagenet"):
+        def preprocess(x):
+            x = np.asarray(x, dtype=np.float64)
+            if x.max() > 1:
+                x = x / 255.0
+            return (x - mean) / std
+
+        return preprocess
+
+    mod = types.ModuleType("segmentation_models_pytorch")
+    encoders = types.ModuleType("segmentation_models_pytorch.encoders")
+    encoders.get_preprocessing_fn = get_preprocessing_fn
+    mod.encoders = encoders
+    sys.modules["segmentation_models_pytorch.encoders"] = encoders
+    return mod
+
+
 _cache = None
 
 
@@ -83,6 +116,11 @@ def load_reference():
 
     if "loralib" not in sys.modules:
         sys.modules["loralib"] = _build_loralib_stub()
+    if "segmentation_models_pytorch" not in sys.modules:
+        try:
+            import segmentation_models_pytorch  # noqa: F401
+        except ImportError:
+            sys.modules["segmentation_models_pytorch"] = _build_smp_stub()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
 
@@ -93,6 +131,9 @@ def load_reference():
     import utils.image_utils as ref_image_utils
     import utils.kmeans as ref_kmeans
     import utils.softargmax as ref_softargmax
+    import utils.train_epoch as ref_train_epoch
+    import utils.dataloader as ref_dataloader
+    import models.trainer as ref_trainer
     import models.ynet as ref_ynet
 
     ns = types.SimpleNamespace(
@@ -103,6 +144,9 @@ def load_reference():
         image_utils=ref_image_utils,
         kmeans=ref_kmeans,
         softargmax=ref_softargmax,
+        train_epoch=ref_train_epoch,
+        dataloader=ref_dataloader,
+        trainer=ref_trainer,
         ynet=ref_ynet,
     )
     _cache = ns

@@ -66,6 +66,10 @@ def make_params(root, tmp_path, **over):
         ckpt_path=str(tmp_path), train_net="train", network="original",
         n_round=1, seed=1, shuffle=False, save_every_n=100,
         segmentation_model_fp=None,
+        # world-meter metrics are opt-in (--eth_world_coords); the default
+        # is the pixel-space parity path (docs/parity.md) — these tests
+        # exercise the world-coordinate branch explicitly
+        eth_world_coords=True,
     ))
     params.update(over)
     return params
@@ -148,6 +152,35 @@ def test_eth_metrics_scale_with_homography(tmp_path, eth_world):
             ade, _, _, _ = exp.test(df_test, image_path)
             ades.append(ade)
         assert ades[1] == pytest.approx(2 * ades[0], rel=1e-3)
+    finally:
+        homo.write_text(orig)
+
+
+def test_eth_defaults_to_pixel_space(tmp_path, eth_world):
+    """Without --eth_world_coords, eth metrics are PIXEL-space (the
+    bit-for-bit reference-parity path): changing the homography scale
+    must not change the reported metrics, and the step config carries
+    world_coords=False."""
+    root, image_path, df = eth_world
+    scene_df = df[df.sceneId == "students003"]
+    df_test = scene_df[scene_df.metaId.isin(scene_df.metaId.unique()[-3:])]
+
+    homo = root / "data" / "eth_ucy" / "students003_H.txt"
+    orig = homo.read_text()
+    try:
+        ades = []
+        for scale in (0.02, 0.04):
+            np.savetxt(homo, np.diag([scale, scale, 1.0]))
+            params = make_params(root, tmp_path, seed=7)
+            params["eth_world_coords"] = False
+            exp = Experiment(params)
+            assert exp._step_config().world_coords is False
+            ade, _, _, _ = exp.test(df_test, image_path)
+            ades.append(ade)
+        assert ades[0] == pytest.approx(ades[1], rel=1e-6)
+        # pixel-space errors on a 128x160 scene are O(10-100) px, not the
+        # few world meters the 0.02-scale homography would produce
+        assert ades[0] > 1.0
     finally:
         homo.write_text(orig)
 
