@@ -18,6 +18,7 @@ pytree for adapters and inside the frozen backbone params for segmentation.
 CLI:
   python -m mst_tpu.models.convert ynet in.pt out.npz [--position 0 1 ...]
   python -m mst_tpu.models.convert segmentation in_state_dict.pt out.npz
+  python -m mst_tpu.models.convert --check-manifest   # coverage dry run
 """
 
 import argparse
@@ -153,15 +154,28 @@ def convert_torch_ynet(state_dict, position=()):
     return params, state
 
 
-def convert_torch_segmentation(state_dict, activation="softmax"):
+def convert_torch_segmentation(state_dict, activation="softmax",
+                               strict=False):
     """smp Unet('resnet101') state dict -> flat params dict (BN running
-    stats included inline: the backbone runs frozen in eval mode)."""
+    stats included inline: the backbone runs frozen in eval mode).
+
+    strict=True validates the result against the vendored smp 0.1.0
+    manifest-derived target tree (mst_tpu.models.manifests): every
+    expected leaf must be produced with the right shape and no unknown
+    keys may remain — the dry run a real released .pth must survive.
+    """
     params = {}
+    skipped = []
     for name, val in state_dict.items():
         val = np.array(getattr(val, "numpy", lambda: val)()
                        if hasattr(val, "numpy") else val, copy=True)
         name = re.sub(r"^(semantic_segmentation|model)\.", "", name)
         if name.endswith("num_batches_tracked"):
+            continue
+        if re.match(r"^encoder\.(fc|avgpool)\.", name):
+            # torchvision ResNet classifier head — deleted by smp's
+            # ResNetEncoder but tolerated here in case a variant kept it
+            skipped.append(name)
             continue
         path = name.replace(".", "/")
         if val.ndim == 4:
@@ -169,10 +183,47 @@ def convert_torch_segmentation(state_dict, activation="softmax"):
         params[path] = val
     params["_meta/activation"] = np.array(
         1 if activation == "softmax" else 0)
+    if strict:
+        from mst_tpu.models.manifests import (_diff,
+                                              smp_unet_resnet101_manifest)
+        n_classes = params["segmentation_head/0/bias"].shape[0]
+        want = {}
+        for k, s in smp_unet_resnet101_manifest(classes=n_classes).items():
+            if k.endswith("num_batches_tracked"):
+                continue
+            s = (s[2], s[3], s[1], s[0]) if len(s) == 4 else s  # OIHW->HWIO
+            want[k.replace(".", "/")] = s
+        want["_meta/activation"] = ()
+        got = {k: tuple(np.shape(v)) for k, v in params.items()}
+        errors = _diff("segmentation", got, want)
+        if skipped:
+            print(f"[convert] skipped classifier-head keys: {skipped}")
+        if errors:
+            raise ValueError(
+                "segmentation checkpoint does not match the smp 0.1.0 "
+                "Unet(resnet101) manifest:\n  " + "\n  ".join(errors))
     return params
 
 
 def main():
+    import sys
+
+    if "--check-manifest" in sys.argv:
+        # dry-run coverage report: every released-artifact key manifest
+        # (smp 0.1.0 Unet(resnet101), loralib 0.1.1 convs, all five
+        # experiment families x adaptation variants) converted and
+        # validated leaf-for-leaf against the init trees
+        from mst_tpu.models.manifests import check_all
+
+        errors = check_all(verbose=True)
+        if errors:
+            print(f"\n{len(errors)} coverage error(s):")
+            for e in errors:
+                print(" -", e)
+            raise SystemExit(1)
+        print("\nall manifests fully covered")
+        return
+
     import torch
 
     parser = argparse.ArgumentParser()
@@ -181,6 +232,8 @@ def main():
     parser.add_argument("dst")
     parser.add_argument("--position", nargs="+", default=[])
     parser.add_argument("--activation", default="softmax")
+    parser.add_argument("--no-strict", action="store_true",
+                        help="segmentation only: skip manifest validation")
     args = parser.parse_args()
 
     sd = torch.load(args.src, map_location="cpu")
@@ -195,7 +248,8 @@ def main():
         if state:
             np.savez(dst[:-len(".npz")] + "_state.npz", **state)
     else:
-        params = convert_torch_segmentation(sd, args.activation)
+        params = convert_torch_segmentation(sd, args.activation,
+                                            strict=not args.no_strict)
         np.savez(dst, **params)
     print(f"converted {len(sd)} torch tensors -> {dst}")
 
