@@ -67,6 +67,14 @@ def get_parser(is_train: bool) -> argparse.ArgumentParser:
                         help="write structured per-epoch train/val metrics"
                              " as JSON lines to this path (alongside the"
                              " reference-compatible stdout)")
+    parser.add_argument("--cross_scene_batching", action="store_true",
+                        help="fill train AND test batches across scenes"
+                             " sharing a padded image shape (TPU-native;"
+                             " the reference's batch_size=1 scene loader"
+                             " pads every scene's last chunk — on datasets"
+                             " with many small scenes, e.g. inD, most of"
+                             " the batch is padding)")
+    parser.add_argument("--max_scenes_per_batch", default=8, type=int)
     parser.add_argument("--eth_world_coords", action="store_true",
                         help="ETH/UCY only: report ADE/FDE in consistent"
                              " world meters (homography applied to both"
@@ -94,12 +102,6 @@ def get_parser(is_train: bool) -> argparse.ArgumentParser:
         parser.add_argument("--smooth_val", action="store_true")
         parser.add_argument("--train_files", default=None, type=str,
                             nargs="+")
-        parser.add_argument("--cross_scene_batching", action="store_true",
-                            help="fill train batches across scenes sharing"
-                                 " a padded image shape (TPU-native; the"
-                                 " reference's batch_size=1 scene loader"
-                                 " pads every scene's last chunk)")
-        parser.add_argument("--max_scenes_per_batch", default=8, type=int)
         parser.add_argument("--fused", action="store_true",
                             help="fuse whole chunks of the epoch loop into"
                                  " ONE compiled program (lax.scan over"

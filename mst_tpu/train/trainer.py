@@ -153,16 +153,21 @@ class Experiment:
             n_shards = math.lcm(mesh_lib.batch_shard_count(self.mesh),
                                 jax.process_count())
             batch_size = -(-batch_size // n_shards) * n_shards
-        if (mode == "train" and p.get("cross_scene_batching", False)
+        if (mode in ("train", "test")
+                and p.get("cross_scene_batching", False)
                 and dataset_name != "eth"):
             # cross-scene shape-bucketed batches: fill B completely from
             # scenes sharing a padded (H, W), one partial batch per scene
             # group instead of per scene (eth is excluded: its homography
-            # is per-scene). Loss/grad parity with per-scene batching is
-            # pinned by tests/test_bucketed_batching.py.
+            # is per-scene). Train loss/grad parity with per-scene
+            # batching and test metric parity are pinned by
+            # tests/test_bucketed_batching.py. Validation stays per-scene
+            # (the reference's smooth-val/early-stop selection consumes
+            # the per-scene stream; eval order there is the parity
+            # contract).
             return scenes_lib.make_bucketed_batches(
                 df, images, total_len, batch_size, p["resize_factor"],
-                shuffle=True, rng=rng,
+                shuffle=(mode == "train"), rng=rng,
                 max_scenes_per_batch=int(
                     p.get("max_scenes_per_batch", 8)))
         return scenes_lib.make_scene_batches(
@@ -925,8 +930,14 @@ class Experiment:
             ade_sum += ade.sum()
             fde_sum += fde.sum()
             n_sum += m.sum()
+            if hasattr(batch, "scene_ids"):
+                # cross-scene bucketed batch: per-row scene names
+                scene_col = np.asarray(batch.scene_ids,
+                                       dtype=object)[batch.scene_idx][m]
+            else:
+                scene_col = batch.scene_id
             rows.append(pd.DataFrame({
-                "metaId": batch.meta_ids[m], "sceneId": batch.scene_id,
+                "metaId": batch.meta_ids[m], "sceneId": scene_col,
                 "ade": ade, "fde": fde}))
             if collect_preds:
                 trajs["prediction"].append(h["best_traj"][m])
