@@ -785,7 +785,8 @@ def make_shared_pred_traj(params, features, n_wp: int,
                           features0_packed: bool = False,
                           return_packed: bool = False,
                           wp_finest_packed: bool = False,
-                          features1_packed: bool = False):
+                          features1_packed: bool = False,
+                          return_prepredictor: bool = False):
     """K-sample trajectory decoding with hoisted encoder contributions.
 
     The eval loop decodes K goal samples against the SAME encoder features
@@ -820,6 +821,7 @@ def make_shared_pred_traj(params, features, n_wp: int,
         return layers.conv2d_apply(p, x)
 
     assert packed_finest or not (features0_packed or features1_packed)
+    assert packed_finest or not return_prepredictor
     enc_ch = [f.shape[-1] for f in feats_rev]  # coarsest-first channels
     if features0_packed:
         enc_ch[-1] //= 4  # features[0] carries 4C packed channels
@@ -1012,6 +1014,12 @@ def make_shared_pred_traj(params, features, n_wp: int,
                 yq = jax.nn.relu(yq)
                 yq = packed_lib.packed_conv(yq, pk["b1_w"], pk["b1_b"])
                 yq = jax.nn.relu(yq)
+                if return_prepredictor:
+                    # producer-owning fused kernel path: the caller runs
+                    # the predictor matmul + softargmax in one Pallas
+                    # kernel (ops/pallas/fused_predict.py) — the packed
+                    # logits volume never reaches HBM
+                    return yq, pk["pred_w"], pk["pred_b"]
                 yq = packed_lib.packed_conv(yq, pk["pred_w"], pk["pred_b"])
                 if return_packed:
                     # caller consumes the packed layout directly (e.g.

@@ -248,7 +248,15 @@ class LoadedModel:
         state_flat = _load_npz(str(d / files["state"]))
         self.state = jax.device_put(_unflatten(state_flat)) \
             if state_flat else {}
-        self._styles = {}
+        import collections
+
+        self._styles = collections.OrderedDict()
+        # resident-style memory cap: None = unbounded (library use); the
+        # HTTP daemon passes --max_styles so a style-registration flood
+        # cannot grow device memory without bound. Least-recently-USED
+        # style is evicted (predict marks use).
+        self.max_styles = None
+        self.evicted = []  # names dropped by the LAST add_style call
 
     def add_style(self, name, delta_path):
         """Register a motion style: a delta checkpoint (the trainable-only
@@ -266,6 +274,12 @@ class LoadedModel:
 
         self._styles[name] = jax.device_put(
             _overlay(self.params, _load_npz(delta_path)))
+        self._styles.move_to_end(name)
+        self.evicted = []
+        if self.max_styles is not None:
+            while len(self._styles) > int(self.max_styles):
+                old, _ = self._styles.popitem(last=False)  # LRU out
+                self.evicted.append(old)
         return self
 
     @property
@@ -290,6 +304,7 @@ class LoadedModel:
             params = self.params
         elif style in self._styles:
             params = self._styles[style]
+            self._styles.move_to_end(style)  # LRU bookkeeping
         else:
             raise ValueError(
                 f"unknown serving style '{style}'; registered styles: "
@@ -365,6 +380,11 @@ def _main():
                          "preprocessed (1, H, W, C) semantic map")
     sv.add_argument("--max_wait_ms", type=float, default=5.0,
                     help="how long the batcher waits to fill a batch")
+    sv.add_argument("--max_queue", type=int, default=64,
+                    help="pending-request bound; beyond it /predict "
+                         "returns 503 + Retry-After (backpressure)")
+    sv.add_argument("--max_styles", type=int, default=32,
+                    help="resident style overlays cap (LRU eviction)")
 
     args = parser.parse_args()
     if args.command == "serve":
@@ -372,7 +392,8 @@ def _main():
 
         run_server(args.model_dir, port=args.port, host=args.host,
                    styles=args.styles, scenes=args.scene,
-                   max_wait_ms=args.max_wait_ms)
+                   max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
+                   max_styles=args.max_styles)
         return
     if args.command == "export":
         from mst_tpu import config as config_lib

@@ -43,6 +43,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class Overloaded(Exception):
+    """Request queue full — the caller gets a 503 with Retry-After."""
+
+
 class _Pending:
     """One request's rows awaiting a batch slot."""
 
@@ -60,33 +64,58 @@ class Batcher:
     row-independent through the convs, but the sampling key is shared per
     dispatch, so the group key keeps a request's samples reproducible for
     a given arrival order.
+
+    Admission is bounded (max_queue requests): when the dispatcher falls
+    behind, submit raises Overloaded and the HTTP layer returns 503 +
+    Retry-After instead of letting handler threads (and client sockets)
+    pile up without limit. Foreign-group requests pulled during batch
+    top-up move to an internal backlog (never re-admitted through the
+    bounded queue, so admission never deadlocks against the dispatcher).
     """
 
-    def __init__(self, model, scenes, max_wait_ms=5.0):
+    def __init__(self, model, scenes, max_wait_ms=5.0, max_queue=64):
+        import collections
+
         self.model = model
         self.scenes = scenes               # {name: (1, H, W, C) float32}
         self.B = int(model.manifest["observed_shape"][0])
         self.max_wait = max_wait_ms / 1e3
-        self.q = queue.Queue()
+        self.q = queue.Queue(maxsize=int(max_queue))
+        self._backlog = collections.deque()
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
 
     def submit(self, scene, style, seed, rows):
         p = _Pending(rows)
-        self.q.put(((scene, style, int(seed)), p))
+        try:
+            self.q.put_nowait(((scene, style, int(seed)), p))
+        except queue.Full:
+            raise Overloaded(
+                f"request queue full ({self.q.maxsize} pending); "
+                f"retry shortly") from None
         return p
+
+    def depth(self):
+        """Pending requests (admitted queue + dispatcher backlog)."""
+        return self.q.qsize() + len(self._backlog)
 
     def stop(self):
         self._stop.set()
-        self.q.put(None)
+        try:
+            self.q.put_nowait(None)
+        except queue.Full:
+            pass  # the loop drains the full queue and sees _stop
         self.thread.join(timeout=5)
         # fail anything still queued so no handler blocks forever
+        items = list(self._backlog)
+        self._backlog.clear()
         while True:
             try:
-                item = self.q.get_nowait()
+                items.append(self.q.get_nowait())
             except queue.Empty:
                 break
+        for item in items:
             if item is not None:
                 item[1].error = "server shutting down"
                 item[1].event.set()
@@ -97,7 +126,10 @@ class Batcher:
         import jax
 
         while not self._stop.is_set():
-            item = self.q.get()
+            if self._backlog:
+                item = self._backlog.popleft()
+            else:
+                item = self.q.get()
             if item is None or self._stop.is_set():
                 if item is not None:
                     item[1].error = "server shutting down"
@@ -105,10 +137,18 @@ class Batcher:
                 continue
             key0, group = item[0], [item[1]]
             n_rows = len(item[1].rows)
-            # top up the batch from same-group requests, waiting at most
-            # max_wait for stragglers; foreign-group requests go back
-            deadline = None
             stash = []
+            # top up from the backlog first (no waiting: these arrived
+            # earlier), then from the queue with the max_wait deadline
+            for cand in list(self._backlog):
+                if n_rows >= self.B:
+                    break
+                if cand[0] == key0 and \
+                        n_rows + len(cand[1].rows) <= self.B:
+                    self._backlog.remove(cand)
+                    group.append(cand[1])
+                    n_rows += len(cand[1].rows)
+            deadline = None
             while n_rows < self.B:
                 try:
                     timeout = self.max_wait if deadline is None else \
@@ -125,8 +165,7 @@ class Batcher:
                     n_rows += len(nxt[1].rows)
                 else:
                     stash.append(nxt)
-            for s in stash:
-                self.q.put(s)
+            self._backlog.extend(stash)
             self._dispatch(key0, group, jax)
 
     def _dispatch(self, key0, group, jax):
@@ -185,6 +224,9 @@ def make_handler(server_state):
                     "ok": True, "batch_size": m["observed_shape"][0],
                     "obs_len": m["obs_len"], "pred_len": m["pred_len"],
                     "n_goal": m.get("n_goal"),
+                    "queue_depth": batcher.depth(),
+                    "max_queue": batcher.q.maxsize,
+                    "max_styles": model.max_styles,
                     "styles": model.styles, "scenes": sorted(scenes)})
             elif self.path == "/styles":
                 self._json(200, {"styles": model.styles})
@@ -214,7 +256,8 @@ def make_handler(server_state):
                 name = self.path.split("/", 2)[2]
                 try:
                     model.add_style(name, self._body()["delta_path"])
-                    self._json(200, {"ok": True, "styles": model.styles})
+                    self._json(200, {"ok": True, "styles": model.styles,
+                                     "evicted": list(model.evicted)})
                 except Exception as ex:  # noqa: BLE001
                     self._json(400, {"error": str(ex)})
                 return
@@ -250,7 +293,17 @@ def make_handler(server_state):
             except Exception as ex:  # noqa: BLE001
                 self._json(400, {"error": str(ex)})
                 return
-            p = batcher.submit(scene, style, seed, rows)
+            try:
+                p = batcher.submit(scene, style, seed, rows)
+            except Overloaded as ex:
+                body = json.dumps({"error": str(ex)}).encode()
+                self.send_response(503)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if not p.event.wait(timeout=300):
                 self._json(504, {"error": "dispatch timed out"})
                 return
@@ -265,14 +318,18 @@ def make_handler(server_state):
 
 
 def run_server(model_dir, port=8000, styles=(), scenes=(), max_wait_ms=5.0,
-               host="127.0.0.1", ready_event=None):
+               host="127.0.0.1", ready_event=None, max_queue=64,
+               max_styles=32):
     """Start the daemon (blocking). styles: ["name=delta.npz"]; scenes:
     ["name=semantic.npy"] with the npy holding (1, H, W, C) float32.
+    max_queue bounds pending requests (503 + Retry-After beyond it);
+    max_styles caps resident style overlays (LRU-evicted beyond it).
     Returns the server object via ready_event.server when a threading
     caller (tests) needs shutdown control."""
     from mst_tpu.serve import load_model
 
     model = load_model(model_dir)
+    model.max_styles = max_styles
     for spec in styles:
         name, path = spec.split("=", 1)
         model.add_style(name, path)
@@ -280,7 +337,8 @@ def run_server(model_dir, port=8000, styles=(), scenes=(), max_wait_ms=5.0,
     for spec in scenes:
         name, path = spec.split("=", 1)
         scene_dict[name] = np.asarray(np.load(path), np.float32)
-    batcher = Batcher(model, scene_dict, max_wait_ms=max_wait_ms)
+    batcher = Batcher(model, scene_dict, max_wait_ms=max_wait_ms,
+                      max_queue=max_queue)
     state = {"model": model, "scenes": scene_dict, "batcher": batcher}
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     print(f"[serve] listening on {host}:{httpd.server_address[1]} "

@@ -85,6 +85,16 @@ class StepConfig(NamedTuple):
     packed_decode: bool = True  # space-to-depth the finest decoder level in
     # the K-sample eval decode (ops/packed.py): ~27% faster on v5e, same
     # math to fp tolerance
+    fused_predict: bool = False  # producer-owning Pallas kernel for the
+    # eval decode tail: predictor matmul + packed softargmax in one kernel
+    # (ops/pallas/fused_predict.py) — the packed logits volume never
+    # reaches HBM. MEASURED AND REJECTED on v5e (round 4): 71.7 vs 88.2
+    # traj/s end-to-end. The kernel itself streams at ~full HBM rate
+    # (~1.9 ms net standalone), but the tpu_custom_call operand boundary
+    # forces XLA to materialize the 1.73 GB b1 activation (~16 ms — the
+    # same cost as one elementwise pass over it) that the XLA reduction
+    # fusions read in the conv's native tiled layout for free. Kept as an
+    # option + numeric tests; see ROADMAP round-4 perf notes.
     remat: bool = False  # rematerialize the train forward (jax.checkpoint
     # around the encoder and the goal/traj decoders): the backward pass
     # recomputes their internal conv activations instead of holding all of
@@ -414,10 +424,12 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
         else:
             H, W = features[0].shape[-3], features[0].shape[-2]
         params = _compute_params(params, scfg)
+        fused_pred = bool(scfg.fused_predict) and bool(scfg.packed_decode)
         decode = ynet_lib.make_shared_pred_traj(
             params, features, n_wp, packed_finest=scfg.packed_decode,
             features0_packed=pack0, return_packed=scfg.packed_decode,
-            wp_finest_packed=scfg.packed_decode)
+            wp_finest_packed=scfg.packed_decode,
+            return_prepredictor=fused_pred)
 
         def decode_chunk(waypoint_chunk):
             """(Kc, B, n_wp, 2) -> (Kc, B, pred_len, 2)."""
@@ -442,7 +454,17 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
             # call's operand layout constraint forces a relayout copy of
             # the 0.65 GB predictor output that XLA's reduction fusions
             # read in the conv's native tiled layout (ROADMAP perf notes).
-            if scfg.packed_decode:
+            if fused_pred:
+                # decode returned (pre-predictor activations, packed
+                # predictor weight/bias): one Pallas kernel computes the
+                # predictor matmul + softargmax without HBM logits
+                from mst_tpu.ops.pallas.fused_predict import (
+                    fused_predictor_softargmax)
+
+                yq, pred_w, pred_b = pred_map
+                pts = fused_predictor_softargmax(yq, pred_w, pred_b,
+                                                 scfg.pred_len)
+            elif scfg.packed_decode:
                 pts = softargmax2d_packed(pred_map, scfg.pred_len)
             else:
                 pts = softargmax2d_nhwc(pred_map)

@@ -136,6 +136,112 @@ def test_http_style_registration_and_scene_upload(server, deployment):
     assert code == 400
 
 
+def test_concurrent_clients_stress(server, deployment):
+    """N client threads x M mixed-group requests: every response is 200
+    (or an honest 503 under burst) and every 200 carries the right row
+    count — no cross-request row leakage, no dispatcher deadlock."""
+    tmp, semantic, delta_path = deployment
+    port, _ = server
+    n_threads, n_reqs = 8, 6
+    rng = np.random.default_rng(17)
+    errors, codes = [], []
+    lock = threading.Lock()
+
+    def client(tid):
+        for r in range(n_reqs):
+            n_rows = 1 + (tid + r) % 3
+            rows = rng.uniform(10, 50, size=(n_rows, OBS_LEN, 2)).astype(
+                np.float32)
+            try:
+                code, out = _request(port, "/predict", {
+                    "scene": "death", "observed": rows.tolist(),
+                    "seed": tid % 3})
+            except Exception as ex:  # noqa: BLE001
+                with lock:
+                    errors.append(f"{tid}/{r}: {ex}")
+                return
+            with lock:
+                codes.append(code)
+                if code == 200:
+                    if np.asarray(out["trajectories"]).shape[0] != n_rows:
+                        errors.append(f"{tid}/{r}: row count mismatch")
+                elif code != 503:
+                    errors.append(f"{tid}/{r}: unexpected {code}: {out}")
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors[:5]
+    assert codes.count(200) >= n_threads * n_reqs * 0.8, (
+        f"too many rejections: {codes.count(503)}/{len(codes)}")
+    # the daemon is still healthy afterwards
+    code, health = _request(port, "/healthz")
+    assert code == 200 and health["ok"]
+    assert health["queue_depth"] == 0
+
+
+def test_overload_returns_503(deployment):
+    """A bounded queue sheds load: with the dispatcher blocked and
+    max_queue=2, further submits raise Overloaded (-> HTTP 503)."""
+    from mst_tpu.serve_http import Batcher, Overloaded
+
+    tmp, semantic, delta_path = deployment
+    model = serve.load_model(tmp / "m")
+
+    gate = threading.Event()
+    real_predict = model.predict
+
+    def slow_predict(*a, **k):
+        gate.wait(timeout=60)
+        return real_predict(*a, **k)
+
+    model.predict = slow_predict
+    batcher = Batcher(model, {"s": semantic}, max_wait_ms=1.0, max_queue=2)
+    try:
+        rng = np.random.default_rng(2)
+        rows = rng.uniform(10, 50, size=(B, OBS_LEN, 2)).astype(np.float32)
+        pend = [batcher.submit("s", None, i, rows) for i in range(2)]
+        # the dispatcher holds one (blocked in predict); give it time to
+        # drain the queue slot, then fill the remaining capacity
+        import time as _time
+
+        _time.sleep(0.3)
+        for i in range(2, 8):
+            try:
+                pend.append(batcher.submit("s", None, i, rows))
+            except Overloaded:
+                break
+        else:
+            raise AssertionError("queue never filled -> no backpressure")
+        gate.set()
+        for p in pend:
+            assert p.event.wait(timeout=120)
+            assert p.error is None, p.error
+    finally:
+        gate.set()
+        batcher.stop()
+
+
+def test_style_lru_eviction(deployment):
+    """max_styles caps resident overlays; least-recently-used goes."""
+    tmp, semantic, delta_path = deployment
+    model = serve.load_model(tmp / "m")
+    model.max_styles = 2
+    model.add_style("a", delta_path)
+    model.add_style("b", delta_path)
+    # touch 'a' so 'b' is the LRU when 'c' arrives
+    rows = np.zeros((B, OBS_LEN, 2), np.float32) + 20
+    model.predict(semantic, rows, style="a")
+    model.add_style("c", delta_path)
+    assert model.styles == ["a", "c"]
+    assert model.evicted == ["b"]
+    with pytest.raises(ValueError, match="unknown serving style"):
+        model.predict(semantic, rows, style="b")
+
+
 def test_batcher_co_batches_and_pads(deployment):
     """Two 1-row submissions in one (scene, style, seed) group dispatch as
     ONE padded batch; each caller gets its own row, equal to the direct
