@@ -59,7 +59,10 @@ def run_load(url, threads=8, requests=50, rows=2, obs_len=None, seed=0):
                 "seed": tid % 4,
             }
             t0 = time.perf_counter()
-            code = _predict(url, payload)
+            try:
+                code = _predict(url, payload)
+            except Exception:  # noqa: BLE001 — timeout/reset under load
+                code = -1  # counted in 'errors'; the thread keeps going
             dt = time.perf_counter() - t0
             with lock:
                 lat.append(dt)

@@ -30,7 +30,8 @@ def capture_activations(model, df_scene, image_path):
             f"capture_activations expects one scene, got "
             f"{sorted(df_scene.sceneId.unique())}; filter df (e.g. "
             f"--given_meta_ids of a single scene) first")
-    batches = model.prepare_data(df_scene, image_path, "test")
+    batches = model.prepare_data(df_scene, image_path, "test",
+                                 allow_bucketed=False)  # single-scene probe
     batch = batches[0]
     traj = jnp.asarray(np.concatenate(
         [b.trajectories[b.mask.astype(bool)] for b in batches]))

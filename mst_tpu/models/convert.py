@@ -186,7 +186,10 @@ def convert_torch_segmentation(state_dict, activation="softmax",
     if strict:
         from mst_tpu.models.manifests import (_diff,
                                               smp_unet_resnet101_manifest)
-        n_classes = params["segmentation_head/0/bias"].shape[0]
+        head_bias = params.get("segmentation_head/0/bias")
+        # head missing (truncated/encoder-only dict): validate against
+        # the released 6-class manifest so _diff reports it readably
+        n_classes = head_bias.shape[0] if head_bias is not None else 6
         want = {}
         for k, s in smp_unet_resnet101_manifest(classes=n_classes).items():
             if k.endswith("num_batches_tracked"):

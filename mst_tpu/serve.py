@@ -249,8 +249,12 @@ class LoadedModel:
         self.state = jax.device_put(_unflatten(state_flat)) \
             if state_flat else {}
         import collections
+        import threading
 
         self._styles = collections.OrderedDict()
+        # guards the style table: the HTTP daemon's handler threads
+        # register/evict styles while the dispatcher thread reads them
+        self._styles_lock = threading.Lock()
         # resident-style memory cap: None = unbounded (library use); the
         # HTTP daemon passes --max_styles so a style-registration flood
         # cannot grow device memory without bound. Least-recently-USED
@@ -272,19 +276,23 @@ class LoadedModel:
         a few % of the model)."""
         import jax
 
-        self._styles[name] = jax.device_put(
+        overlaid = jax.device_put(
             _overlay(self.params, _load_npz(delta_path)))
-        self._styles.move_to_end(name)
-        self.evicted = []
-        if self.max_styles is not None:
-            while len(self._styles) > int(self.max_styles):
-                old, _ = self._styles.popitem(last=False)  # LRU out
-                self.evicted.append(old)
+        with self._styles_lock:
+            self._styles[name] = overlaid
+            self._styles.move_to_end(name)
+            evicted = []
+            if self.max_styles is not None:
+                while len(self._styles) > int(self.max_styles):
+                    old, _ = self._styles.popitem(last=False)  # LRU out
+                    evicted.append(old)
+            self.evicted = evicted
         return self
 
     @property
     def styles(self):
-        return sorted(self._styles)
+        with self._styles_lock:
+            return sorted(self._styles)
 
     def predict(self, semantic, observed, key=None, seed=0, block=True,
                 style=None):
@@ -302,13 +310,16 @@ class LoadedModel:
             key = jax.random.PRNGKey(seed)
         if style is None:
             params = self.params
-        elif style in self._styles:
-            params = self._styles[style]
-            self._styles.move_to_end(style)  # LRU bookkeeping
         else:
-            raise ValueError(
-                f"unknown serving style '{style}'; registered styles: "
-                f"{self.styles or '(none — call add_style first)'}")
+            with self._styles_lock:
+                params = self._styles.get(style)
+                if params is not None:
+                    self._styles.move_to_end(style)  # LRU bookkeeping
+            if params is None:
+                raise ValueError(
+                    f"unknown serving style '{style}'; registered "
+                    f"styles: "
+                    f"{self.styles or '(none — call add_style first)'}")
         semantic = np.asarray(semantic, np.float32)
         observed = np.asarray(observed, np.float32)
         fwd_out = self._forward.call(params, self.state, semantic,

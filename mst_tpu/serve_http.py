@@ -88,6 +88,14 @@ class Batcher:
 
     def submit(self, scene, style, seed, rows):
         p = _Pending(rows)
+        # admission bounds TOTAL pending work: the bounded queue AND the
+        # dispatcher backlog (foreign-group items moved there during
+        # top-up would otherwise free queue slots and let mixed-group
+        # load grow the backlog without limit)
+        if self.depth() >= self.q.maxsize:
+            raise Overloaded(
+                f"request queue full ({self.q.maxsize} pending); "
+                f"retry shortly")
         try:
             self.q.put_nowait(((scene, style, int(seed)), p))
         except queue.Full:

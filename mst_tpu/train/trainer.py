@@ -119,11 +119,15 @@ class Experiment:
     def _image_file(self, dataset_name):
         return _IMAGE_FILES.get(dataset_name.lower(), "reference.jpg")
 
-    def prepare_data(self, df, image_path, mode, augment=False, rng=None):
+    def prepare_data(self, df, image_path, mode, augment=False, rng=None,
+                     allow_bucketed=True):
         """df + image dir -> list of fixed-shape SceneBatch.
 
         Mirrors trainer.py:518-584: load scene images, optionally augment
         (train only), resize/pad/normalize, group trajectories per scene.
+        allow_bucketed=False forces per-scene batches even when
+        --cross_scene_batching is set (single-scene consumers like
+        forward_test need SceneBatch semantics).
         """
         p = self.params
         dataset_name = p["dataset_name"].lower()
@@ -153,7 +157,7 @@ class Experiment:
             n_shards = math.lcm(mesh_lib.batch_shard_count(self.mesh),
                                 jax.process_count())
             batch_size = -(-batch_size // n_shards) * n_shards
-        if (mode in ("train", "test")
+        if (allow_bucketed and mode in ("train", "test")
                 and p.get("cross_scene_batching", False)
                 and dataset_name != "eth"):
             # cross-scene shape-bucketed batches: fill B completely from
@@ -1029,7 +1033,10 @@ class Experiment:
         from mst_tpu.train.losses import bce_with_logits
 
         p = self.params
-        batches = self.prepare_data(df_test, image_path, "test")
+        # per-scene batches always: the probe is single-scene by contract
+        # (reference trainer.py:375,428) and reads batch.image as (H,W,C)
+        batches = self.prepare_data(df_test, image_path, "test",
+                                    allow_bucketed=False)
         scene_ids = {b.scene_id for b in batches}
         if len(scene_ids) != 1:
             raise ValueError(f"Received {len(scene_ids)} scenes, expected 1")

@@ -411,8 +411,12 @@ def run_preprocessing(sandbox, repo_root=REPO_ROOT, timeout=1800,
                 "Remove it manually or point --sandbox elsewhere.")
         import shutil
         shutil.rmtree(prep)
-    build_raw_fixtures(prep)
+    # marker FIRST: an interrupted build must remain self-healing (the
+    # guard above keys on the marker, so a half-built prep/ without it
+    # would otherwise need a manual rmtree)
+    prep.mkdir(parents=True, exist_ok=True)
     (prep / "overrides.sh").write_text(_GRID_OVERRIDES)
+    build_raw_fixtures(prep)
     out = {}
     for rel in ("scripts/sdd/preprocessing.sh", "scripts/inD/preprocessing.sh"):
         out[rel] = run_script(rel, prep, repo_root, timeout=timeout,
@@ -491,7 +495,9 @@ def _main():
     results, n_ok = {}, 0
     t_all = time.time()
     for rel, entry in done.items():
-        results[rel] = entry
+        # explicit provenance tag: the summary's fresh/resumed split must
+        # count carried-over entries by MARK, not by value equality
+        results[rel] = {**entry, "resumed": True}
         n_ok += 1
     if args.skip_preprocessing:
         pass
@@ -529,8 +535,7 @@ def _main():
               f"{i + 1}/{len(scripts)})", flush=True)
     import datetime
 
-    n_resumed = sum(1 for v in results.values()
-                    if v.get("resumed_from_log") or v in done.values())
+    n_resumed = sum(1 for v in results.values() if v.get("resumed"))
     summary = {"total": len(results), "ok": n_ok,
                "seconds": round(time.time() - t_all, 1),
                # self-describing artifact: when it was produced and how

@@ -252,6 +252,20 @@ class TestBucketedEval:
             np.testing.assert_array_equal(a.trajectories, b.trajectories)
             assert a.scene_ids == b.scene_ids
 
+    def test_forward_test_probe_unaffected(self, tmp_path, world):
+        """forward_test is a single-scene SceneBatch consumer; the
+        bucketed-eval flag must not change its data path (it reads
+        batch.image as (H, W, C) and asserts one scene_id)."""
+        df, images = world
+        scene = df.sceneId.unique()[0]
+        df_one = df[df.sceneId == scene]
+        params = _eval_params(tmp_path, images, cross_scene_batching=True,
+                              max_scenes_per_batch=4)
+        exp = Experiment(params, images=images)
+        goal_loss, traj_loss, _ = exp.forward_test(df_one, None)
+        assert np.isfinite(float(goal_loss))
+        assert np.isfinite(float(traj_loss))
+
     def test_eth_eval_never_buckets(self, tmp_path, world):
         df, images = world
         params = _eval_params(tmp_path, images, cross_scene_batching=True,

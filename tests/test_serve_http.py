@@ -225,6 +225,48 @@ def test_overload_returns_503(deployment):
         batcher.stop()
 
 
+def test_admission_counts_dispatcher_backlog(deployment):
+    """Mixed-group load moves foreign-group requests to the dispatcher
+    backlog; admission must bound queue + backlog TOGETHER, otherwise
+    the 503 bound is a fiction under multi-group traffic."""
+    from mst_tpu.serve_http import Batcher, Overloaded, _Pending
+
+    tmp, semantic, delta_path = deployment
+    model = serve.load_model(tmp / "m")
+    gate = threading.Event()
+    real_predict = model.predict
+    model.predict = lambda *a, **k: (gate.wait(timeout=60),
+                                     real_predict(*a, **k))[1]
+    batcher = Batcher(model, {"s": semantic}, max_wait_ms=1.0, max_queue=3)
+    try:
+        import time as _time
+
+        full = np.zeros((B, OBS_LEN, 2), np.float32) + 20
+        rows = full[:1]
+        # park the dispatcher inside a blocked dispatch (a full-B request
+        # skips top-up entirely), then wait until it left the queue
+        p0 = batcher.submit("s", None, 0, full)
+        for _ in range(200):
+            if batcher.q.qsize() == 0:
+                break
+            _time.sleep(0.01)
+        assert batcher.q.qsize() == 0
+        # simulate two foreign-group requests parked in the backlog
+        backlogged = [_Pending(rows), _Pending(rows)]
+        batcher._backlog.extend(
+            [(("s", None, 91), backlogged[0]), (("s", None, 92),
+                                                backlogged[1])])
+        p1 = batcher.submit("s", None, 1, rows)  # depth 3 >= max_queue
+        with pytest.raises(Overloaded):
+            batcher.submit("s", None, 2, rows)
+        gate.set()
+        for p in [p0, p1] + backlogged:
+            assert p.event.wait(timeout=120) and p.error is None
+    finally:
+        gate.set()
+        batcher.stop()
+
+
 def test_style_lru_eviction(deployment):
     """max_styles caps resident overlays; least-recently-used goes."""
     tmp, semantic, delta_path = deployment
