@@ -105,6 +105,26 @@ def main():
     loss = float(jax.device_get(
         jax.jit(lambda x: x, out_shardings=rep)(metrics["loss"])))
     out["train_loss"] = loss
+
+    # orbax sharded checkpoint ACROSS the two processes (train/
+    # sharded_ckpt.py): each host writes only its shards of a
+    # data-sharded tree; restore places leaves back onto the mesh
+    # sharding, and the replicated readback equals the global values
+    if len(sys.argv) > 4:
+        from mst_tpu.train import sharded_ckpt
+
+        ckpt_dir = sys.argv[4]
+        ds = mesh_lib.data_sharding(mesh)
+        tree = {"traj": db["traj"],
+                "step": jax.device_put(np.int64(7), rep)}
+        sharded_ckpt.save_sharded(ckpt_dir, tree)
+        restored = sharded_ckpt.restore_sharded(ckpt_dir, tree)
+        assert restored["traj"].sharding == ds
+        back = jax.device_get(
+            jax.jit(lambda x: x, out_shardings=rep)(restored["traj"]))
+        np.testing.assert_array_equal(back, batch["traj"])
+        assert int(restored["step"]) == 7
+        out["sharded_ckpt"] = "ok"
     print("RESULT " + json.dumps(out), flush=True)
 
 

@@ -37,9 +37,12 @@ def test_two_process_hostdata_pipeline():
                XLA_FLAGS="--xla_force_host_platform_device_count=2",
                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
                                                              ""))
+    import tempfile
+
+    ckpt_dir = os.path.join(tempfile.mkdtemp(prefix="mp_ckpt_"), "state")
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tests", "hostdata_worker.py"),
-         str(i), str(N_PROC), str(port)],
+         str(i), str(N_PROC), str(port), ckpt_dir],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=REPO) for i in range(N_PROC)]
     outs = []
@@ -61,6 +64,8 @@ def test_two_process_hostdata_pipeline():
         assert r["roundtrip"] == "ok", r
         assert r["divisibility_error"] == "raised", r
         assert r["rowcount_error"] == "raised", r
+        # per-host orbax shard writes + restore onto the spanning mesh
+        assert r.get("sharded_ckpt") == "ok", r
     # both hosts computed the identical global loss through the
     # process-spanning all-reduce
     assert results[0]["train_loss"] == pytest.approx(
