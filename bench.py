@@ -440,18 +440,20 @@ def main():
     except OSError:
         pass
     t0 = time.perf_counter()
-    # the crosscheck compiles through the persistent cache; if the first
-    # attempt hits a tunneled-compile stall, one retry picks up whatever
-    # the service finished caching meanwhile
     from mst_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    bf16 = measure_jax(compute_dtype="bfloat16")  # headline leg, unguarded
+    # numeric crosscheck AFTER the headline leg: the main programs have
+    # primed the (possibly tunneled) runtime, so the small cached Pallas
+    # program executes in ~0.1 s instead of racing a cold client under
+    # host load (round-3/4 artifacts timed out when it ran first);
+    # one retry covers a transient service stall
     pallas_status = _with_deadline(_check_pallas_softargmax, 420,
                                    "pallas crosscheck")
     if pallas_status is None:
         pallas_status = _with_deadline(_check_pallas_softargmax, 300,
                                        "pallas crosscheck retry")
-    bf16 = measure_jax(compute_dtype="bfloat16")  # headline leg, unguarded
     _log(f"jax bf16 measured in {time.perf_counter() - t0:.1f}s: {bf16}")
     t0 = time.perf_counter()
     f32 = _with_deadline(measure_jax, 1200, "f32 leg")
