@@ -29,6 +29,13 @@ if [ ! -d data/sdd ] || ! ls ckpts/*.pt >/dev/null 2>&1; then
   exit 1
 fi
 
+# ---- 0.5. converter coverage gate ---------------------------------------
+# dry-run every family's key/shape manifest through the converters before
+# touching the real artifacts: a naming/shape mismatch fails HERE with a
+# leaf-level report instead of mid-conversion (mst_tpu/models/manifests.py)
+echo "[parity] converter manifest check"
+python -m mst_tpu.models.convert --check-manifest
+
 # ---- 1. convert checkpoints -------------------------------------------
 for f in ckpts/*.pt; do
   [ -f "${f%.pt}.npz" ] && continue
