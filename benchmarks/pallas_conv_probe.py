@@ -20,8 +20,6 @@ import functools
 import sys
 import time
 
-import numpy as np
-
 import jax
 
 if "--cpu" in sys.argv:
@@ -96,12 +94,18 @@ def main():
         enable_compilation_cache()
     KB, H, W, C, Co = (2, 16, 32, 8, 8) if interpret else \
         (160, 176, 240, 128, 128)
-    rng = np.random.default_rng(0)
     # interpret mode checks correctness in f32 (CPU bf16 emulation through
     # the interpreter is pathologically slow); the TPU run measures bf16
     dtype = jnp.float32 if interpret else jnp.bfloat16
-    x = jnp.asarray(rng.normal(size=(KB, H, W, C)) * 0.5, dtype)
-    w = jnp.asarray(rng.normal(size=(3, 3, C, Co)) * 0.05, dtype)
+    # generate ON the device: materializing this on host is 13.5 GB of
+    # float64 and a 1.7 GB tunnel transfer (minutes; it stalled the first
+    # probe run past its deadline)
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.jit(lambda k: (jax.random.normal(k, (KB, H, W, C), jnp.float32)
+                           * 0.5).astype(dtype))(kx)
+    w = jax.jit(lambda k: (jax.random.normal(k, (3, 3, C, Co), jnp.float32)
+                           * 0.05).astype(dtype))(kw)
+    jax.block_until_ready((x, w))
 
     print(f"[probe] backend={jax.default_backend()} shape={x.shape}",
           flush=True)
