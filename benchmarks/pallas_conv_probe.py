@@ -80,6 +80,63 @@ def pallas_conv3x3(x, w, interpret=False):
     )(xp, xp, xp, w)
 
 
+def _kernel_v2(x_mid, x_top, x_bot, w_ref, o_ref, *, bh):
+    """One deep dot per tile: x9 (BH*Wp, 9C) @ w9 (9C, Co).
+
+    Halo rows arrive as dedicated 1-row streams (clamped index maps,
+    zeroed at the image borders), so each input row is read ~(1 + 2/BH)x
+    from HBM instead of the v1 kernel's 3x whole-block loads; the nine
+    shifted taps concatenate on the channel axis into a single K=9C
+    contraction that keeps the MXU pipeline full (the v1 kernel's nine
+    K=C dots interleave VPU shifts between short matmuls).
+    """
+    h = pl.program_id(1)
+    nh = pl.num_programs(1)
+    mid = x_mid[0]                            # (BH, Wp, C)
+    wp, c = mid.shape[1], mid.shape[2]
+    dt = mid.dtype
+    top = x_top[0] * (h > 0).astype(dt)       # zero top halo at h == 0
+    bot = x_bot[0] * (h < nh - 1).astype(dt)  # zero bottom halo at the end
+    xext = jnp.concatenate([top, mid, bot], axis=0)   # (BH+2, Wp, C)
+    z = jnp.zeros_like(xext[:, :1])
+    xw = jnp.concatenate([z, xext, z], axis=1)        # (BH+2, Wp+2, C)
+    x9 = jnp.concatenate(
+        [xw[dy:dy + bh, dx:dx + wp].reshape(bh * wp, c)
+         for dy in (0, 1, 2) for dx in (0, 1, 2)], axis=1)
+    acc = jnp.dot(x9, w_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(bh, wp, -1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def pallas_conv3x3_v2(x, w, bh=BH, interpret=False):
+    """SAME 3x3 stride-1 conv, NHWC x HWIO. H % bh == 0."""
+    B, H, W, C = x.shape
+    Co = w.shape[3]
+    assert H % bh == 0, (H, bh)
+    nh = H // bh
+    # (3, 3, C, Co) -> (9C, Co), (dy, dx, c) major-to-minor: matches the
+    # kernel's x9 concat order
+    w9 = w.reshape(9 * C, Co)
+    row = lambda rm: pl.BlockSpec(  # noqa: E731
+        (1, 1, W, C), lambda i, h: (i, rm(h), 0, 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_v2, bh=bh),
+        grid=(B, nh),
+        in_specs=[
+            pl.BlockSpec((1, bh, W, C), lambda i, h: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row(lambda h: jnp.maximum(h * bh - 1, 0)),
+            row(lambda h: jnp.minimum(h * bh + bh, H - 1)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, W, Co), lambda i, h: (i, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Co), x.dtype),
+        interpret=interpret,
+    )(x, x, x, w9)
+
+
 @jax.jit
 def xla_conv3x3(x, w):
     return jax.lax.conv_general_dilated(
@@ -109,27 +166,37 @@ def main():
 
     print(f"[probe] backend={jax.default_backend()} shape={x.shape}",
           flush=True)
-    got = pallas_conv3x3(x, w, interpret)
-    jax.block_until_ready(got)
-    print("[probe] pallas compiled+ran", flush=True)
-    want = xla_conv3x3(x, w)
-    jax.block_until_ready(want)
-    print("[probe] xla compiled+ran", flush=True)
     # fused jitted reduction: an eager astype(f32) of these (KB,H,W,C)
     # tensors materializes ~3.5 GB each and OOMs the 16 GB v5e
     maxdiff = jax.jit(lambda a, b: jnp.max(jnp.abs(
         a.astype(jnp.float32) - b.astype(jnp.float32))))
-    err = float(maxdiff(got, want))
-    del got, want
-    print(f"max abs err vs XLA conv: {err:.4f}")
-    assert err < 0.15, err  # bf16 reassociation noise on |acc|~O(3)
+    want = xla_conv3x3(x, w)
+    jax.block_until_ready(want)
+    print("[probe] xla compiled+ran", flush=True)
+    for vname, vfn in (("v1", lambda v: pallas_conv3x3(v, w, interpret)),
+                       ("v2.bh8", lambda v: pallas_conv3x3_v2(
+                           v, w, 8, interpret)),
+                       ("v2.bh16", lambda v: pallas_conv3x3_v2(
+                           v, w, 16, interpret))):
+        got = vfn(x)
+        jax.block_until_ready(got)
+        err = float(maxdiff(got, want))
+        del got
+        print(f"[probe] pallas {vname} max abs err vs XLA conv: {err:.4f}",
+              flush=True)
+        assert err < 0.15, (vname, err)  # bf16 noise on |acc|~O(3)
+    del want
 
     if interpret:
         print("(CPU interpret mode: correctness only)")
         return
     flops = 2 * KB * H * W * 9 * C * Co
     for name, fn in (("xla", lambda v: xla_conv3x3(v, w)),
-                     ("pallas", lambda v: pallas_conv3x3(v, w, False))):
+                     ("pallas v1", lambda v: pallas_conv3x3(v, w, False)),
+                     ("pallas v2.bh8",
+                      lambda v: pallas_conv3x3_v2(v, w, 8, False)),
+                     ("pallas v2.bh16",
+                      lambda v: pallas_conv3x3_v2(v, w, 16, False))):
         # chain out -> in (C == Co): every iteration sees fresh values
         # (defeats the tunnel's repeat-execution dedup) with only two
         # buffers alive — 10 queued 1.7 GB temps OOM the chip otherwise
