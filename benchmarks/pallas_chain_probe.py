@@ -35,6 +35,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+from mst_tpu.ops.pallas.fused_predict import unify_packed_stats  # noqa: E402
+
 BH = 16  # rows per unrolled tile; Hp % BH == 0
 
 
@@ -115,24 +118,10 @@ def _kernel(x_ref, wa_ref, ba_ref, wb_ref, bb_ref, wp_ref, bp_ref,
         o_ref[0, 1, :] = s[0, n_pred:2 * n_pred]
         return
 
-    # ---- unify the 4 sub-position statistics (fused_predict.py epilogue)
-    p = n_pred
-    mk = [m[0, k * p:(k + 1) * p] for k in range(4)]
-    mg = jnp.maximum(jnp.maximum(mk[0], mk[1]), jnp.maximum(mk[2], mk[3]))
-    tot_s = jnp.zeros((p,), jnp.float32)
-    tot_x = jnp.zeros((p,), jnp.float32)
-    tot_y = jnp.zeros((p,), jnp.float32)
-    sjs = (0.0, 1.0, 0.0, 1.0)
-    sis = (0.0, 0.0, 1.0, 1.0)
-    for k in range(4):
-        scale = jnp.exp(mk[k] - mg)
-        sk = s[0, k * p:(k + 1) * p] * scale
-        tot_s = tot_s + sk
-        tot_x = tot_x + 2.0 * sx[0, k * p:(k + 1) * p] * scale + sjs[k] * sk
-        tot_y = tot_y + 2.0 * sy[0, k * p:(k + 1) * p] * scale + sis[k] * sk
-    inv = 1.0 / (tot_s + 1e-6)
-    o_ref[0, 0, :] = tot_x * inv
-    o_ref[0, 1, :] = tot_y * inv
+    # unify the 4 sub-position statistics (the production epilogue)
+    tot_x, tot_y = unify_packed_stats(m, s, sx, sy, n_pred, 1e-6)
+    o_ref[0, 0, :] = tot_x
+    o_ref[0, 1, :] = tot_y
 
 
 def _kernel_v2(x_mid, x_t2, x_t1, x_b1, x_b2, wa_ref, ba_ref, wb_ref,
@@ -200,28 +189,10 @@ def _kernel_v2(x_mid, x_t2, x_t1, x_b1, x_b2, wa_ref, ba_ref, wb_ref,
     # ---- finalize on the last row-tile (o_ref block persists across h)
     @pl.when(h == nh - 1)
     def _finalize():
-        p = n_pred
-        m_f = m_ref[:]
-        s_f, sx_f, sy_f = s_ref[:], sx_ref[:], sy_ref[:]
-        mk = [m_f[0, k * p:(k + 1) * p] for k in range(4)]
-        mg = jnp.maximum(jnp.maximum(mk[0], mk[1]),
-                         jnp.maximum(mk[2], mk[3]))
-        tot_s = jnp.zeros((p,), jnp.float32)
-        tot_x = jnp.zeros((p,), jnp.float32)
-        tot_y = jnp.zeros((p,), jnp.float32)
-        sjs = (0.0, 1.0, 0.0, 1.0)
-        sis = (0.0, 0.0, 1.0, 1.0)
-        for k in range(4):
-            scale = jnp.exp(mk[k] - mg)
-            sk = s_f[0, k * p:(k + 1) * p] * scale
-            tot_s = tot_s + sk
-            tot_x = (tot_x + 2.0 * sx_f[0, k * p:(k + 1) * p] * scale
-                     + sjs[k] * sk)
-            tot_y = (tot_y + 2.0 * sy_f[0, k * p:(k + 1) * p] * scale
-                     + sis[k] * sk)
-        inv = 1.0 / (tot_s + 1e-6)
-        o_ref[0, 0, :] = tot_x * inv
-        o_ref[0, 1, :] = tot_y * inv
+        tot_x, tot_y = unify_packed_stats(m_ref[:], s_ref[:], sx_ref[:],
+                                          sy_ref[:], n_pred, 1e-6)
+        o_ref[0, 0, :] = tot_x
+        o_ref[0, 1, :] = tot_y
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9))

@@ -51,10 +51,13 @@ def run_load(url, threads=8, requests=50, rows=2, obs_len=None, seed=0):
     lock = threading.Lock()
 
     def client(tid):
+        # per-thread Generator: np Generators are not thread-safe, and a
+        # shared one racing across clients corrupts the draw stream
+        trng = np.random.default_rng((seed, tid))
         for i in range(requests):
             payload = {
                 "scene": scene,
-                "observed": rng.uniform(
+                "observed": trng.uniform(
                     10, 50, size=(rows, obs_len, 2)).tolist(),
                 "seed": tid % 4,
             }

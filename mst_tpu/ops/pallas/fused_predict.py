@@ -33,6 +33,35 @@ from jax.experimental.pallas import tpu as pltpu
 BH = 8  # packed rows per tile; Hp = H/2 with H % 32 == 0 -> Hp % 16 == 0
 
 
+def unify_packed_stats(m, s, sx, sy, n_pred, eps):
+    """Merge the four packed sub-position online-softmax statistics.
+
+    m/s/sx/sy: (1, 4*n_pred) f32 running max / mass / x-moment / y-moment
+    per packed channel k*n_pred + p, k = si*2 + sj (the softargmax2d_packed
+    channel layout). Returns (X, Y) full-resolution expected coordinates,
+    each (n_pred,). Pure jnp — traceable inside a Pallas kernel body;
+    shared by this kernel and the probe kernels (benchmarks/
+    pallas_chain_probe.py) so the statistics math exists exactly once.
+    """
+    P = n_pred
+    mk = [m[0, k * P:(k + 1) * P] for k in range(4)]
+    M = jnp.maximum(jnp.maximum(mk[0], mk[1]),
+                    jnp.maximum(mk[2], mk[3]))
+    S = jnp.zeros((P,), jnp.float32)
+    X = jnp.zeros((P,), jnp.float32)
+    Y = jnp.zeros((P,), jnp.float32)
+    sj = (0.0, 1.0, 0.0, 1.0)
+    si = (0.0, 0.0, 1.0, 1.0)
+    for k in range(4):
+        scale = jnp.exp(mk[k] - M)
+        sk = s[0, k * P:(k + 1) * P] * scale
+        S = S + sk
+        X = X + 2.0 * sx[0, k * P:(k + 1) * P] * scale + sj[k] * sk
+        Y = Y + 2.0 * sy[0, k * P:(k + 1) * P] * scale + si[k] * sk
+    inv = 1.0 / (S + eps)
+    return X * inv, Y * inv
+
+
 def _kernel(x_ref, w_ref, b_ref, out_ref, m_ref, s_ref, sx_ref, sy_ref, *,
             n_channels: int, eps: float):
     h = pl.program_id(1)
@@ -70,25 +99,10 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, m_ref, s_ref, sx_ref, sy_ref, *,
 
     @pl.when(h == nh - 1)
     def _():
-        # unify the four sub-position statistics under one global max
-        # (packed channel layout k*P + p, k = si*2 + sj)
-        mk = [m_ref[0, k * P:(k + 1) * P] for k in range(4)]
-        M = jnp.maximum(jnp.maximum(mk[0], mk[1]),
-                        jnp.maximum(mk[2], mk[3]))
-        S = jnp.zeros((P,), jnp.float32)
-        X = jnp.zeros((P,), jnp.float32)
-        Y = jnp.zeros((P,), jnp.float32)
-        sj = (0.0, 1.0, 0.0, 1.0)
-        si = (0.0, 0.0, 1.0, 1.0)
-        for k in range(4):
-            scale = jnp.exp(mk[k] - M)
-            sk = s_ref[0, k * P:(k + 1) * P] * scale
-            S = S + sk
-            X = X + 2.0 * sx_ref[0, k * P:(k + 1) * P] * scale + sj[k] * sk
-            Y = Y + 2.0 * sy_ref[0, k * P:(k + 1) * P] * scale + si[k] * sk
-        inv = 1.0 / (S + eps)
-        out_ref[0, 0, :] = X * inv
-        out_ref[0, 1, :] = Y * inv
+        X, Y = unify_packed_stats(m_ref[:], s_ref[:], sx_ref[:], sy_ref[:],
+                                  P, eps)
+        out_ref[0, 0, :] = X
+        out_ref[0, 1, :] = Y
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))

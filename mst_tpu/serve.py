@@ -260,7 +260,6 @@ class LoadedModel:
         # cannot grow device memory without bound. Least-recently-USED
         # style is evicted (predict marks use).
         self.max_styles = None
-        self.evicted = []  # names dropped by the LAST add_style call
 
     def add_style(self, name, delta_path):
         """Register a motion style: a delta checkpoint (the trainable-only
@@ -273,7 +272,10 @@ class LoadedModel:
         reference with the base pytree (device_put on an already-resident
         array is a no-op, so sharing survives device placement), and N
         resident styles cost the base once plus N deltas (a LoRA delta is
-        a few % of the model)."""
+        a few % of the model).
+
+        Returns the list of style names LRU-evicted by this registration
+        (empty unless max_styles is set and was exceeded)."""
         import jax
 
         overlaid = jax.device_put(
@@ -286,8 +288,10 @@ class LoadedModel:
                 while len(self._styles) > int(self.max_styles):
                     old, _ = self._styles.popitem(last=False)  # LRU out
                     evicted.append(old)
-            self.evicted = evicted
-        return self
+        # returned (not stashed on the model): concurrent registrations
+        # would otherwise race on a shared attribute and report another
+        # request's evictions
+        return evicted
 
     @property
     def styles(self):

@@ -80,7 +80,10 @@ class Batcher:
         self.scenes = scenes               # {name: (1, H, W, C) float32}
         self.B = int(model.manifest["observed_shape"][0])
         self.max_wait = max_wait_ms / 1e3
-        self.q = queue.Queue(maxsize=int(max_queue))
+        # max_queue <= 0 means unbounded admission (queue.Queue(0) is
+        # unbounded in Python, so the admission check must agree)
+        self.max_queue = int(max_queue) if int(max_queue) > 0 else None
+        self.q = queue.Queue(maxsize=self.max_queue or 0)
         self._backlog = collections.deque()
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -92,15 +95,15 @@ class Batcher:
         # dispatcher backlog (foreign-group items moved there during
         # top-up would otherwise free queue slots and let mixed-group
         # load grow the backlog without limit)
-        if self.depth() >= self.q.maxsize:
+        if self.max_queue is not None and self.depth() >= self.max_queue:
             raise Overloaded(
-                f"request queue full ({self.q.maxsize} pending); "
+                f"request queue full ({self.max_queue} pending); "
                 f"retry shortly")
         try:
             self.q.put_nowait(((scene, style, int(seed)), p))
         except queue.Full:
             raise Overloaded(
-                f"request queue full ({self.q.maxsize} pending); "
+                f"request queue full ({self.max_queue} pending); "
                 f"retry shortly") from None
         return p
 
@@ -213,10 +216,12 @@ def make_handler(server_state):
         def log_message(self, fmt, *args):  # quiet; the CLI prints startup
             pass
 
-        def _json(self, code, payload):
+        def _json(self, code, payload, headers=()):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
+            for name, value in headers:
+                self.send_header(name, value)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -233,7 +238,7 @@ def make_handler(server_state):
                     "obs_len": m["obs_len"], "pred_len": m["pred_len"],
                     "n_goal": m.get("n_goal"),
                     "queue_depth": batcher.depth(),
-                    "max_queue": batcher.q.maxsize,
+                    "max_queue": batcher.max_queue,
                     "max_styles": model.max_styles,
                     "styles": model.styles, "scenes": sorted(scenes)})
             elif self.path == "/styles":
@@ -263,9 +268,10 @@ def make_handler(server_state):
             if self.path.startswith("/styles/"):
                 name = self.path.split("/", 2)[2]
                 try:
-                    model.add_style(name, self._body()["delta_path"])
+                    evicted = model.add_style(name,
+                                              self._body()["delta_path"])
                     self._json(200, {"ok": True, "styles": model.styles,
-                                     "evicted": list(model.evicted)})
+                                     "evicted": evicted})
                 except Exception as ex:  # noqa: BLE001
                     self._json(400, {"error": str(ex)})
                 return
@@ -304,13 +310,8 @@ def make_handler(server_state):
             try:
                 p = batcher.submit(scene, style, seed, rows)
             except Overloaded as ex:
-                body = json.dumps({"error": str(ex)}).encode()
-                self.send_response(503)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Retry-After", "1")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._json(503, {"error": str(ex)},
+                           headers=(("Retry-After", "1"),))
                 return
             if not p.event.wait(timeout=300):
                 self._json(504, {"error": "dispatch timed out"})

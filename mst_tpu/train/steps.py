@@ -424,7 +424,12 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
         else:
             H, W = features[0].shape[-3], features[0].shape[-2]
         params = _compute_params(params, scfg)
-        fused_pred = bool(scfg.fused_predict) and bool(scfg.packed_decode)
+        if scfg.fused_predict and not scfg.packed_decode:
+            raise ValueError(
+                "fused_predict requires packed_decode=True: the Pallas "
+                "kernel consumes the packed finest-level activations "
+                "(ops/pallas/fused_predict.py)")
+        fused_pred = bool(scfg.fused_predict)
         decode = ynet_lib.make_shared_pred_traj(
             params, features, n_wp, packed_finest=scfg.packed_decode,
             features0_packed=pack0, return_packed=scfg.packed_decode,

@@ -116,3 +116,9 @@ def test_eval_step_fused_predict_matches(rng):
     np.testing.assert_allclose(np.asarray(out1["fde"]),
                                np.asarray(out0["fde"]), rtol=1e-4,
                                atol=1e-3)
+    # fused_predict without packed_decode would silently measure the
+    # plain XLA path; it must error instead
+    with pytest.raises(ValueError, match="fused_predict requires"):
+        steps_lib.make_eval_step(
+            mcfg, scfg._replace(fused_predict=True, packed_decode=False)
+        )(params, state, batch, key)

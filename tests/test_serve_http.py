@@ -225,6 +225,26 @@ def test_overload_returns_503(deployment):
         batcher.stop()
 
 
+def test_max_queue_zero_means_unbounded(deployment):
+    """max_queue<=0 disables admission bounding entirely (a queue.Queue
+    maxsize of 0 is UNBOUNDED in Python; the admission check must agree,
+    not reject everything)."""
+    from mst_tpu.serve_http import Batcher
+
+    tmp, semantic, delta_path = deployment
+    model = serve.load_model(tmp / "m")
+    batcher = Batcher(model, {"s": semantic}, max_wait_ms=1.0, max_queue=0)
+    try:
+        assert batcher.max_queue is None
+        rows = np.zeros((1, OBS_LEN, 2), np.float32) + 20
+        pend = [batcher.submit("s", None, i, rows) for i in range(4)]
+        for p in pend:
+            assert p.event.wait(timeout=120)
+            assert p.error is None, p.error
+    finally:
+        batcher.stop()
+
+
 def test_admission_counts_dispatcher_backlog(deployment):
     """Mixed-group load moves foreign-group requests to the dispatcher
     backlog; admission must bound queue + backlog TOGETHER, otherwise
@@ -277,9 +297,9 @@ def test_style_lru_eviction(deployment):
     # touch 'a' so 'b' is the LRU when 'c' arrives
     rows = np.zeros((B, OBS_LEN, 2), np.float32) + 20
     model.predict(semantic, rows, style="a")
-    model.add_style("c", delta_path)
+    evicted = model.add_style("c", delta_path)
     assert model.styles == ["a", "c"]
-    assert model.evicted == ["b"]
+    assert evicted == ["b"]
     with pytest.raises(ValueError, match="unknown serving style"):
         model.predict(semantic, rows, style="b")
 
