@@ -446,6 +446,8 @@ def main():
 
     enable_compilation_cache()
     bf16 = measure_jax(compute_dtype="bfloat16")  # headline leg, unguarded
+    t_bf16 = time.perf_counter() - t0  # before the crosscheck: its up-to-
+    # 720 s of deadlines must not inflate the headline leg's logged time
     # numeric crosscheck AFTER the headline leg: the main programs have
     # primed the (possibly tunneled) runtime, so the small cached Pallas
     # program executes in ~0.1 s instead of racing a cold client under
@@ -459,7 +461,7 @@ def main():
     if pallas_status is None:  # record the REAL reason, not always timeout
         pallas_status = "skipped: " + getattr(
             _with_deadline, "last_error", "TimeoutError")
-    _log(f"jax bf16 measured in {time.perf_counter() - t0:.1f}s: {bf16}")
+    _log(f"jax bf16 measured in {t_bf16:.1f}s: {bf16}")
     t0 = time.perf_counter()
     f32 = _with_deadline(measure_jax, 1200, "f32 leg")
     _log(f"jax f32 measured in {time.perf_counter() - t0:.1f}s: {f32}")

@@ -270,7 +270,6 @@ def xla_chain_map(x, wa, ba, wb, bb, wpred, bpred, f32_logits=False):
 
 
 def xla_chain(x, wa, ba, wb, bb, wpred, bpred, n_pred, f32_logits=False):
-    sys.path.insert(0, __file__.rsplit("/", 2)[0])
     from mst_tpu.ops.softargmax import softargmax2d_packed
 
     pm = xla_chain_map(x, wa, ba, wb, bb, wpred, bpred, f32_logits)
@@ -280,7 +279,6 @@ def xla_chain(x, wa, ba, wb, bb, wpred, bpred, n_pred, f32_logits=False):
 def main():
     interpret = jax.default_backend() != "tpu"
     if not interpret:
-        sys.path.insert(0, __file__.rsplit("/", 2)[0])
         from mst_tpu.utils.cache import enable_compilation_cache
         enable_compilation_cache()
     KB, Hp, Wp, C, CA = (2, 32, 24, 8, 16) if interpret else \

@@ -44,6 +44,10 @@ def run_load(url, threads=8, requests=50, rows=2, obs_len=None, seed=0):
     with urllib.request.urlopen(f"{url}/healthz", timeout=60) as r:
         health = json.loads(r.read())
     obs_len = obs_len or health["obs_len"]
+    if not health["scenes"]:
+        raise SystemExit(
+            "daemon has no resident scenes — start it with --scene "
+            "name=semantic.npy or upload one via PUT /scenes/<name> first")
     scene = sorted(health["scenes"])[0]
     rng = np.random.default_rng(seed)
 

@@ -185,12 +185,13 @@ def _get_conv2d_entries(m, prefix, train_net, l, position, cin, cout,
                         k=3, rank=None):
     """Mirror of reference get_conv2d (ynet.py:134-151) key emission."""
     position = [str(p) for p in position]
+    if "mosa" in train_net and str(l) in position:
+        # single source of the loralib shape contract
+        loralib_conv_entries(m, prefix, cin, cout, k, rank)
+        return
     m[f"{prefix}.weight"] = (cout, cin, k, k)
     m[f"{prefix}.bias"] = (cout,)
-    if "mosa" in train_net and str(l) in position:
-        m[f"{prefix}.lora_A"] = (rank * k, cin * k)
-        m[f"{prefix}.lora_B"] = (cout * k, rank * k)
-    elif "Layer" in train_net and str(l) in position:
+    if "Layer" in train_net and str(l) in position:
         _adapter_entries(m, prefix, train_net, cin, cout)
 
 

@@ -255,8 +255,9 @@ class LoadedModel:
         # guards the style table: the HTTP daemon's handler threads
         # register/evict styles while the dispatcher thread reads them
         self._styles_lock = threading.Lock()
-        # resident-style memory cap: None = unbounded (library use); the
-        # HTTP daemon passes --max_styles so a style-registration flood
+        # resident-style memory cap: None or <= 0 = unbounded (library
+        # use; matches the daemon's max_queue convention). The HTTP
+        # daemon passes --max_styles so a style-registration flood
         # cannot grow device memory without bound. Least-recently-USED
         # style is evicted (predict marks use).
         self.max_styles = None
@@ -284,7 +285,7 @@ class LoadedModel:
             self._styles[name] = overlaid
             self._styles.move_to_end(name)
             evicted = []
-            if self.max_styles is not None:
+            if self.max_styles is not None and int(self.max_styles) > 0:
                 while len(self._styles) > int(self.max_styles):
                     old, _ = self._styles.popitem(last=False)  # LRU out
                     evicted.append(old)
@@ -399,7 +400,12 @@ def _main():
                     help="pending-request bound; beyond it /predict "
                          "returns 503 + Retry-After (backpressure)")
     sv.add_argument("--max_styles", type=int, default=32,
-                    help="resident style overlays cap (LRU eviction)")
+                    help="resident style overlays cap (LRU eviction); "
+                         "<= 0 means unbounded")
+    sv.add_argument("--max_scenes", type=int, default=32,
+                    help="resident scene maps cap (LRU eviction of "
+                         "PUT-uploaded + startup scenes); <= 0 means "
+                         "unbounded")
 
     args = parser.parse_args()
     if args.command == "serve":
@@ -408,7 +414,7 @@ def _main():
         run_server(args.model_dir, port=args.port, host=args.host,
                    styles=args.styles, scenes=args.scene,
                    max_wait_ms=args.max_wait_ms, max_queue=args.max_queue,
-                   max_styles=args.max_styles)
+                   max_styles=args.max_styles, max_scenes=args.max_scenes)
         return
     if args.command == "export":
         from mst_tpu import config as config_lib

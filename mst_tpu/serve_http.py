@@ -84,6 +84,11 @@ class Batcher:
         # unbounded in Python, so the admission check must agree)
         self.max_queue = int(max_queue) if int(max_queue) > 0 else None
         self.q = queue.Queue(maxsize=self.max_queue or 0)
+        # serializes the admission check + enqueue: without it, N handler
+        # threads can all read depth() == max_queue - 1 and overshoot the
+        # advertised bound by up to N-1 whenever a backlog exists (the
+        # queue's own maxsize doesn't count backlog items)
+        self._admit_lock = threading.Lock()
         self._backlog = collections.deque()
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -95,16 +100,18 @@ class Batcher:
         # dispatcher backlog (foreign-group items moved there during
         # top-up would otherwise free queue slots and let mixed-group
         # load grow the backlog without limit)
-        if self.max_queue is not None and self.depth() >= self.max_queue:
-            raise Overloaded(
-                f"request queue full ({self.max_queue} pending); "
-                f"retry shortly")
-        try:
-            self.q.put_nowait(((scene, style, int(seed)), p))
-        except queue.Full:
-            raise Overloaded(
-                f"request queue full ({self.max_queue} pending); "
-                f"retry shortly") from None
+        with self._admit_lock:
+            if self.max_queue is not None and \
+                    self.depth() >= self.max_queue:
+                raise Overloaded(
+                    f"request queue full ({self.max_queue} pending); "
+                    f"retry shortly")
+            try:
+                self.q.put_nowait(((scene, style, int(seed)), p))
+            except queue.Full:
+                raise Overloaded(
+                    f"request queue full ({self.max_queue} pending); "
+                    f"retry shortly") from None
         return p
 
     def depth(self):
@@ -187,7 +194,13 @@ class Batcher:
             if n < self.B:  # fixed-shape program: pad by repeating row 0
                 pad = np.repeat(rows[:1], self.B - n, axis=0)
                 rows = np.concatenate([rows, pad])
-            out = self.model.predict(self.scenes[scene_name], rows,
+            sem = self.scenes.get(scene_name)
+            if sem is None:
+                # the scene was LRU-evicted between admission and dispatch
+                raise ValueError(
+                    f"scene '{scene_name}' is no longer resident "
+                    f"(evicted); re-upload it via PUT /scenes/{scene_name}")
+            out = self.model.predict(sem, rows,
                                      key=jax.random.PRNGKey(seed),
                                      style=style)
             # (K, B, T, 2) -> per-request (n_i, K, T, 2)
@@ -209,8 +222,28 @@ class Batcher:
 
 def make_handler(server_state):
     model = server_state["model"]
-    scenes = server_state["scenes"]
+    scenes = server_state["scenes"]          # OrderedDict: LRU order
     batcher = server_state["batcher"]
+    scenes_lock = server_state.get("scenes_lock") or threading.Lock()
+    max_scenes = server_state.get("max_scenes")
+
+    def _register_scene(name, sem):
+        """Capped LRU insert (mirrors ServingModel.add_style): a scene-
+        upload flood cannot grow host memory without bound."""
+        with scenes_lock:
+            scenes[name] = sem
+            scenes.move_to_end(name)
+            evicted = []
+            if max_scenes is not None and int(max_scenes) > 0:
+                while len(scenes) > int(max_scenes):
+                    old, _ = scenes.popitem(last=False)
+                    evicted.append(old)
+        return evicted
+
+    def _touch_scene(name):
+        with scenes_lock:
+            if name in scenes:
+                scenes.move_to_end(name)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet; the CLI prints startup
@@ -240,6 +273,7 @@ def make_handler(server_state):
                     "queue_depth": batcher.depth(),
                     "max_queue": batcher.max_queue,
                     "max_styles": model.max_styles,
+                    "max_scenes": max_scenes,
                     "styles": model.styles, "scenes": sorted(scenes)})
             elif self.path == "/styles":
                 self._json(200, {"styles": model.styles})
@@ -256,9 +290,10 @@ def make_handler(server_state):
                         raise ValueError(
                             f"semantic must match the exported shape "
                             f"{want}, got {sem.shape}")
-                    scenes[name] = sem
+                    evicted = _register_scene(name, sem)
                     self._json(200, {"ok": True, "scene": name,
-                                     "shape": list(sem.shape)})
+                                     "shape": list(sem.shape),
+                                     "evicted": evicted})
                 except Exception as ex:  # noqa: BLE001
                     self._json(400, {"error": str(ex)})
             else:
@@ -284,6 +319,7 @@ def make_handler(server_state):
                 if scene not in scenes:
                     raise ValueError(f"unknown scene '{scene}'; "
                                      f"registered: {sorted(scenes)}")
+                _touch_scene(scene)  # LRU: predict marks use
                 rows = np.asarray(req["observed"], np.float32)
                 if rows.ndim == 2:
                     rows = rows[None]
@@ -328,10 +364,11 @@ def make_handler(server_state):
 
 def run_server(model_dir, port=8000, styles=(), scenes=(), max_wait_ms=5.0,
                host="127.0.0.1", ready_event=None, max_queue=64,
-               max_styles=32):
+               max_styles=32, max_scenes=32):
     """Start the daemon (blocking). styles: ["name=delta.npz"]; scenes:
     ["name=semantic.npy"] with the npy holding (1, H, W, C) float32.
     max_queue bounds pending requests (503 + Retry-After beyond it);
+    max_scenes caps resident scene maps (LRU; <= 0 unbounded);
     max_styles caps resident style overlays (LRU-evicted beyond it).
     Returns the server object via ready_event.server when a threading
     caller (tests) needs shutdown control."""
@@ -342,13 +379,21 @@ def run_server(model_dir, port=8000, styles=(), scenes=(), max_wait_ms=5.0,
     for spec in styles:
         name, path = spec.split("=", 1)
         model.add_style(name, path)
-    scene_dict = {}
+    import collections
+
+    scene_dict = collections.OrderedDict()
     for spec in scenes:
         name, path = spec.split("=", 1)
         scene_dict[name] = np.asarray(np.load(path), np.float32)
+    if max_scenes is not None and 0 < int(max_scenes) < len(scene_dict):
+        raise ValueError(
+            f"--max_scenes {max_scenes} is smaller than the "
+            f"{len(scene_dict)} startup scenes; raise the cap or register "
+            f"fewer scenes")
     batcher = Batcher(model, scene_dict, max_wait_ms=max_wait_ms,
                       max_queue=max_queue)
-    state = {"model": model, "scenes": scene_dict, "batcher": batcher}
+    state = {"model": model, "scenes": scene_dict, "batcher": batcher,
+             "scenes_lock": threading.Lock(), "max_scenes": max_scenes}
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     print(f"[serve] listening on {host}:{httpd.server_address[1]} "
           f"(B={batcher.B}, styles={model.styles}, "

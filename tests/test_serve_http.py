@@ -304,6 +304,60 @@ def test_style_lru_eviction(deployment):
         model.predict(semantic, rows, style="b")
 
 
+def test_max_styles_nonpositive_means_unbounded(deployment):
+    """max_styles <= 0 disables the cap (the max_queue convention) —
+    it must NOT mean 'evict everything incl. the style just added'."""
+    tmp, semantic, delta_path = deployment
+    model = serve.load_model(tmp / "m")
+    model.max_styles = 0
+    for name in ("a", "b", "c"):
+        assert model.add_style(name, delta_path) == []
+    assert model.styles == ["a", "b", "c"]
+
+
+def test_scene_lru_eviction_over_http(deployment):
+    """PUT /scenes is capped like styles: a scene-upload flood cannot grow
+    host memory without bound; LRU (predict marks use) goes first."""
+    tmp, semantic, delta_path = deployment
+    ready = threading.Event()
+    t = threading.Thread(
+        target=run_server,
+        kwargs=dict(model_dir=str(tmp / "m"), port=0,
+                    scenes=[f"death={tmp / 'scene.npy'}"],
+                    max_wait_ms=50.0, ready_event=ready, max_scenes=2),
+        daemon=True)
+    t.start()
+    assert ready.wait(timeout=120)
+    port = ready.server.server_address[1]
+    try:
+        code, health = _request(port, "/healthz")
+        assert code == 200 and health["max_scenes"] == 2
+
+        rng = np.random.default_rng(23)
+        sem2 = rng.normal(size=(1, H, W, 3)).astype(np.float32)
+        code, out = _request(port, "/scenes/s2", {"semantic": sem2.tolist()},
+                             method="PUT")
+        assert code == 200 and out["evicted"] == []
+
+        # touch 'death' so 's2' is the LRU when 's3' arrives
+        rows = rng.uniform(10, 50, size=(1, OBS_LEN, 2)).astype(np.float32)
+        code, _ = _request(port, "/predict", {
+            "scene": "death", "observed": rows.tolist()})
+        assert code == 200
+        code, out = _request(port, "/scenes/s3", {"semantic": sem2.tolist()},
+                             method="PUT")
+        assert code == 200 and out["evicted"] == ["s2"], out
+        code, health = _request(port, "/healthz")
+        assert sorted(health["scenes"]) == ["death", "s3"]
+        # the evicted scene is now unknown (400, not a dispatcher death)
+        code, out = _request(port, "/predict", {
+            "scene": "s2", "observed": rows.tolist()})
+        assert code == 400 and "unknown scene" in out["error"]
+    finally:
+        ready.server.shutdown()
+        ready.batcher.stop()
+
+
 def test_batcher_co_batches_and_pads(deployment):
     """Two 1-row submissions in one (scene, style, seed) group dispatch as
     ONE padded batch; each caller gets its own row, equal to the direct
