@@ -73,22 +73,30 @@ class Batcher:
     bounded queue, so admission never deadlocks against the dispatcher).
     """
 
-    def __init__(self, model, scenes, max_wait_ms=5.0, max_queue=64):
+    def __init__(self, model, scenes, max_wait_ms=5.0, max_queue=64,
+                 scenes_lock=None):
         import collections
 
         self.model = model
         self.scenes = scenes               # {name: (1, H, W, C) float32}
+        # guards every read/write of the (mutable, LRU-evicted) scenes
+        # dict — the HTTP layer shares the same lock for PUT /scenes
+        self.scenes_lock = scenes_lock or threading.Lock()
         self.B = int(model.manifest["observed_shape"][0])
         self.max_wait = max_wait_ms / 1e3
         # max_queue <= 0 means unbounded admission (queue.Queue(0) is
         # unbounded in Python, so the admission check must agree)
         self.max_queue = int(max_queue) if int(max_queue) > 0 else None
         self.q = queue.Queue(maxsize=self.max_queue or 0)
-        # serializes the admission check + enqueue: without it, N handler
-        # threads can all read depth() == max_queue - 1 and overshoot the
-        # advertised bound by up to N-1 whenever a backlog exists (the
-        # queue's own maxsize doesn't count backlog items)
+        # serializes the admission check + counter bump: without it, N
+        # handler threads can all read _pending == max_queue - 1 and
+        # overshoot the advertised bound by up to N-1
         self._admit_lock = threading.Lock()
+        # admitted-but-unresolved requests: queued + dispatcher backlog +
+        # in-flight. An explicit counter (vs deriving from qsize+backlog)
+        # keeps the bound exact while the dispatcher transiently holds
+        # popped items during batch top-up.
+        self._pending = 0
         self._backlog = collections.deque()
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -96,27 +104,38 @@ class Batcher:
 
     def submit(self, scene, style, seed, rows):
         p = _Pending(rows)
-        # admission bounds TOTAL pending work: the bounded queue AND the
-        # dispatcher backlog (foreign-group items moved there during
-        # top-up would otherwise free queue slots and let mixed-group
-        # load grow the backlog without limit)
+        # admission bounds TOTAL unresolved work (queued + backlog +
+        # in-flight), so the 503 bound holds under mixed-group traffic
+        # and while a batch is being dispatched
         with self._admit_lock:
             if self.max_queue is not None and \
-                    self.depth() >= self.max_queue:
+                    self._pending >= self.max_queue:
                 raise Overloaded(
                     f"request queue full ({self.max_queue} pending); "
                     f"retry shortly")
-            try:
-                self.q.put_nowait(((scene, style, int(seed)), p))
-            except queue.Full:
-                raise Overloaded(
-                    f"request queue full ({self.max_queue} pending); "
-                    f"retry shortly") from None
+            self._pending += 1
+        try:
+            self.q.put_nowait(((scene, style, int(seed)), p))
+        except queue.Full:
+            # unreachable when bounded (_pending >= qsize), kept as defense
+            with self._admit_lock:
+                self._pending -= 1
+            raise Overloaded(
+                f"request queue full ({self.max_queue} pending); "
+                f"retry shortly") from None
         return p
 
     def depth(self):
-        """Pending requests (admitted queue + dispatcher backlog)."""
-        return self.q.qsize() + len(self._backlog)
+        """Admitted-but-unresolved requests (queue + backlog + in-flight)."""
+        return self._pending
+
+    def _finish(self, pendings):
+        """Resolve requests: wake the handlers, release admission slots."""
+        for p in pendings:
+            p.event.set()
+        if pendings:
+            with self._admit_lock:
+                self._pending -= len(pendings)
 
     def stop(self):
         self._stop.set()
@@ -133,10 +152,10 @@ class Batcher:
                 items.append(self.q.get_nowait())
             except queue.Empty:
                 break
-        for item in items:
-            if item is not None:
-                item[1].error = "server shutting down"
-                item[1].event.set()
+        dead = [item[1] for item in items if item is not None]
+        for p in dead:
+            p.error = "server shutting down"
+        self._finish(dead)
 
     # -- dispatcher thread ---------------------------------------------------
 
@@ -151,7 +170,7 @@ class Batcher:
             if item is None or self._stop.is_set():
                 if item is not None:
                     item[1].error = "server shutting down"
-                    item[1].event.set()
+                    self._finish([item[1]])
                 continue
             key0, group = item[0], [item[1]]
             n_rows = len(item[1].rows)
@@ -194,7 +213,8 @@ class Batcher:
             if n < self.B:  # fixed-shape program: pad by repeating row 0
                 pad = np.repeat(rows[:1], self.B - n, axis=0)
                 rows = np.concatenate([rows, pad])
-            sem = self.scenes.get(scene_name)
+            with self.scenes_lock:
+                sem = self.scenes.get(scene_name)
             if sem is None:
                 # the scene was LRU-evicted between admission and dispatch
                 raise ValueError(
@@ -216,8 +236,7 @@ class Batcher:
             for p in group:
                 p.error = str(ex)
         finally:
-            for p in group:
-                p.event.set()
+            self._finish(group)
 
 
 def make_handler(server_state):
@@ -244,6 +263,13 @@ def make_handler(server_state):
         with scenes_lock:
             if name in scenes:
                 scenes.move_to_end(name)
+
+    def _scene_names():
+        """Snapshot of resident scene names under the lock — iterating the
+        live OrderedDict while PUT handlers mutate it can raise
+        'dictionary changed size during iteration'."""
+        with scenes_lock:
+            return sorted(scenes)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet; the CLI prints startup
@@ -274,7 +300,7 @@ def make_handler(server_state):
                     "max_queue": batcher.max_queue,
                     "max_styles": model.max_styles,
                     "max_scenes": max_scenes,
-                    "styles": model.styles, "scenes": sorted(scenes)})
+                    "styles": model.styles, "scenes": _scene_names()})
             elif self.path == "/styles":
                 self._json(200, {"styles": model.styles})
             else:
@@ -315,10 +341,17 @@ def make_handler(server_state):
                 return
             try:
                 req = self._body()
-                scene = req.get("scene") or next(iter(sorted(scenes)))
-                if scene not in scenes:
+                names = _scene_names()
+                scene = req.get("scene")
+                if not scene:
+                    if not names:
+                        raise ValueError(
+                            "no scenes resident; upload one via "
+                            "PUT /scenes/<name>")
+                    scene = names[0]
+                if scene not in names:
                     raise ValueError(f"unknown scene '{scene}'; "
-                                     f"registered: {sorted(scenes)}")
+                                     f"registered: {names}")
                 _touch_scene(scene)  # LRU: predict marks use
                 rows = np.asarray(req["observed"], np.float32)
                 if rows.ndim == 2:
@@ -390,10 +423,11 @@ def run_server(model_dir, port=8000, styles=(), scenes=(), max_wait_ms=5.0,
             f"--max_scenes {max_scenes} is smaller than the "
             f"{len(scene_dict)} startup scenes; raise the cap or register "
             f"fewer scenes")
+    scenes_lock = threading.Lock()  # shared: PUT handlers + dispatcher
     batcher = Batcher(model, scene_dict, max_wait_ms=max_wait_ms,
-                      max_queue=max_queue)
+                      max_queue=max_queue, scenes_lock=scenes_lock)
     state = {"model": model, "scenes": scene_dict, "batcher": batcher,
-             "scenes_lock": threading.Lock(), "max_scenes": max_scenes}
+             "scenes_lock": scenes_lock, "max_scenes": max_scenes}
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     print(f"[serve] listening on {host}:{httpd.server_address[1]} "
           f"(B={batcher.B}, styles={model.styles}, "

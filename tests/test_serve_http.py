@@ -245,11 +245,13 @@ def test_max_queue_zero_means_unbounded(deployment):
         batcher.stop()
 
 
-def test_admission_counts_dispatcher_backlog(deployment):
-    """Mixed-group load moves foreign-group requests to the dispatcher
-    backlog; admission must bound queue + backlog TOGETHER, otherwise
-    the 503 bound is a fiction under multi-group traffic."""
-    from mst_tpu.serve_http import Batcher, Overloaded, _Pending
+def test_admission_bounds_total_unresolved(deployment):
+    """max_queue bounds ALL admitted-but-unresolved requests — queued,
+    dispatcher-backlogged, and in-flight alike. Deriving depth from
+    qsize+backlog undercounts while the dispatcher holds popped items,
+    letting admission overshoot by up to ~B; the explicit pending counter
+    makes the 503 bound exact."""
+    from mst_tpu.serve_http import Batcher, Overloaded
 
     tmp, semantic, delta_path = deployment
     model = serve.load_model(tmp / "m")
@@ -264,24 +266,34 @@ def test_admission_counts_dispatcher_backlog(deployment):
         full = np.zeros((B, OBS_LEN, 2), np.float32) + 20
         rows = full[:1]
         # park the dispatcher inside a blocked dispatch (a full-B request
-        # skips top-up entirely), then wait until it left the queue
+        # skips top-up entirely), then wait until it left the queue — the
+        # in-flight request must STILL count against admission
         p0 = batcher.submit("s", None, 0, full)
         for _ in range(200):
             if batcher.q.qsize() == 0:
                 break
             _time.sleep(0.01)
         assert batcher.q.qsize() == 0
-        # simulate two foreign-group requests parked in the backlog
-        backlogged = [_Pending(rows), _Pending(rows)]
-        batcher._backlog.extend(
-            [(("s", None, 91), backlogged[0]), (("s", None, 92),
-                                                backlogged[1])])
-        p1 = batcher.submit("s", None, 1, rows)  # depth 3 >= max_queue
+        assert batcher.depth() == 1  # in-flight, not merely queued
+        # two foreign-group requests (distinct seeds): the dispatcher will
+        # park them in its backlog during top-up; they stay counted
+        p1 = batcher.submit("s", None, 91, rows)
+        p2 = batcher.submit("s", None, 92, rows)
+        assert batcher.depth() == 3  # 1 in-flight + 2 queued/backlogged
         with pytest.raises(Overloaded):
             batcher.submit("s", None, 2, rows)
         gate.set()
-        for p in [p0, p1] + backlogged:
+        for p in [p0, p1, p2]:
             assert p.event.wait(timeout=120) and p.error is None
+        # resolution releases admission slots: depth drains and a new
+        # request is admitted again
+        for _ in range(200):
+            if batcher.depth() == 0:
+                break
+            _time.sleep(0.01)
+        assert batcher.depth() == 0
+        p3 = batcher.submit("s", None, 3, rows)
+        assert p3.event.wait(timeout=120) and p3.error is None
     finally:
         gate.set()
         batcher.stop()
