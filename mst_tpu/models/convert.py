@@ -239,7 +239,15 @@ def main():
                         help="segmentation only: skip manifest validation")
     args = parser.parse_args()
 
-    sd = torch.load(args.src, map_location="cpu")
+    # weights_only=False: the released segmentation artifact is a pickled
+    # FULL smp module (reference ynet.py:495-502), which torch >= 2.6
+    # refuses under the weights_only=True default. This is an offline CLI
+    # run by the user on artifacts they chose to download — same trust
+    # model as the reference's own torch.load.
+    try:
+        sd = torch.load(args.src, map_location="cpu", weights_only=False)
+    except TypeError:  # torch < 1.13 has no weights_only kwarg
+        sd = torch.load(args.src, map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     # normalize so the BN-state sidecar never collides with the params
