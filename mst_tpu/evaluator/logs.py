@@ -52,6 +52,36 @@ def extract_test_metrics(text):
     return pd.DataFrame(rows)
 
 
+_ROUND_RE = (r"Round (\d+): \nTest ADE: ([\d\.]+) \n"
+             r"Test FDE: ([\d\.]+)")
+
+
+def extract_runs_with_rounds(text):
+    """Per-round metrics grouped into runs.
+
+    The Experiment driver prints one 'Round i: / Test ADE/FDE' block per
+    stochastic round (trainer.py:1005, byte-compatible with reference
+    trainer.py:345) followed by ONE 'Average performance (by N)' block per
+    run (trainer.py:348-351). Returns a list of runs, each
+    {"ade": run-average ADE, "fde": ..., "round_ade": [per-round ADEs],
+    "round_fde": [...]} — the raw material for the parity decision rule
+    (parity_stats.py): the round spread estimates the protocol's own
+    sampling noise.
+    """
+    runs, rounds = [], []
+    pat = re.compile(f"(?:{_ROUND_RE})|(?:{_AVG_RE})")
+    for m in pat.finditer(text):
+        if m.group(1) is not None:  # a Round block
+            rounds.append((float(m.group(2)), float(m.group(3))))
+        else:  # an Average block closes the current run
+            runs.append({
+                "ade": float(m.group(4)), "fde": float(m.group(5)),
+                "round_ade": [a for a, _ in rounds],
+                "round_fde": [f for _, f in rounds]})
+            rounds = []
+    return runs
+
+
 def extract_train_metrics(text):
     """Per-experiment summary rows from a train log
     (reference extract_log.py:8-41)."""

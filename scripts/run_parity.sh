@@ -9,10 +9,13 @@
 #      into npz pytrees (skipping ones already converted),
 #   2. runs the five CoRL22 experiments' generalize + tune suites through
 #      the real CLIs, logging to parity_logs/,
-#   3. scrapes every 'Average performance (by N)' block into
-#      parity_report.csv, and
-#   4. if a reference-run table is given (csv: suite,ade,fde), prints
-#      per-suite percentage deltas against the <=1% target.
+#   3. scrapes every suite log (per-round AND per-run metrics) into
+#      parity_report.csv with mean/SE/CI columns, and
+#   4. if a reference-run table is given (csv: suite,ade,fde and
+#      optionally ade_se,fde_se), applies the TOST equivalence rule
+#      (mst_tpu/evaluator/parity_stats.py, docs/parity.md): exit 0 =
+#      every suite SHOWN within 1%, exit 1 = a suite demonstrably
+#      exceeds 1%, exit 2 = underpowered (see mdd_pct per suite).
 #
 # Usage: scripts/run_parity.sh [reference_table.csv]
 set -euo pipefail
@@ -93,34 +96,9 @@ for suite in "${SUITES[@]}"; do
   bash "$REPO/$suite" 2>&1 | tee "$log"
 done
 
-# ---- 3+4. scrape + diff ------------------------------------------------
-python - "$LOG_DIR" "$REF_TABLE" <<'PY'
-import pathlib, sys
-import pandas as pd
-from mst_tpu.evaluator.logs import extract_test_metrics
-
-log_dir, ref_table = sys.argv[1], sys.argv[2]
-rows = []
-for log in sorted(pathlib.Path(log_dir).glob("*.out")):
-    df = extract_test_metrics(log.read_text())
-    if len(df):
-        # tune grids print one block per (seed x config); report the mean
-        rows.append({"suite": log.stem, "n_runs": len(df),
-                     "ade": df.ade.mean(), "fde": df.fde.mean()})
-rep = pd.DataFrame(rows)
-rep.to_csv("parity_report.csv", index=False)
-print(rep.to_string(index=False))
-print("wrote parity_report.csv")
-if ref_table:
-    ref = pd.read_csv(ref_table)
-    m = rep.merge(ref, on="suite", suffixes=("", "_ref"))
-    m["ade_delta_pct"] = 100 * (m.ade - m.ade_ref).abs() / m.ade_ref
-    m["fde_delta_pct"] = 100 * (m.fde - m.fde_ref).abs() / m.fde_ref
-    print(m[["suite", "ade", "ade_ref", "ade_delta_pct",
-             "fde", "fde_ref", "fde_delta_pct"]].to_string(index=False))
-    bad = m[(m.ade_delta_pct > 1) | (m.fde_delta_pct > 1)]
-    if len(bad):
-        print(f"PARITY FAIL: {len(bad)} suites exceed the 1% target")
-        sys.exit(1)
-    print("PARITY OK: every suite within 1% of the reference run")
-PY
+# ---- 3+4. scrape + statistical decision rule ---------------------------
+# per-suite mean +/- SE/CI from the n_round rounds (and the seed-grid
+# spread on tune suites), then the TOST equivalence gate — see
+# mst_tpu/evaluator/parity_stats.py and docs/parity.md for the rule
+python -m mst_tpu.evaluator.parity_stats "$LOG_DIR" $REF_TABLE \
+  --out parity_report.csv
