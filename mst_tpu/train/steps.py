@@ -338,7 +338,8 @@ def _ttst_goals(key, mcfg, params, pred_waypoint_map, pred_wp_sigmoid, scfg):
 
 
 def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
-                   collect_samples: bool = False, jit: bool = True):
+                   collect_samples: bool = False, jit: bool = True,
+                   mesh=None):
     """Build the multi-goal eval step.
 
     Signature: (params, state, batch, key) -> metrics dict with per-trajectory
@@ -357,13 +358,23 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
     jit=False leaves every sub-program untraced (a pure composition) so the
     fused multi-epoch trainer (train/fused.py) can scan the whole
     validation pass inside its one compiled program.
+
+    mesh: a non-spatial jax.sharding.Mesh makes the decode+score program
+    shard_map'd over the batch axes — every row's K decodes stay on the
+    device that holds the row (the decode has no cross-row math), only the
+    three metric sums psum. Without this, GSPMD partitions the (K, B)
+    reshape by ALL-GATHERING the per-row feature pyramids across the mesh
+    (measured: 21 activation all-gathers in the 8-device decode program)
+    — pure wasted ICI bandwidth. forward's outputs are pinned to the
+    shard_map layout so features stream straight in without resharding.
     """
     waypoints = jnp.asarray(scfg.waypoints)
     n_wp = len(scfg.waypoints)
     pack0 = bool(scfg.packed_decode) and ynet_lib.can_pack_stage0(mcfg)
     maybe_jit = jax.jit if jit else (lambda f: f)
+    shard_decode = (mesh is not None and jit
+                    and "space" not in mesh.axis_names)
 
-    @maybe_jit
     def forward(params, state, batch, key):
         params = _compute_params(params, scfg)
         traj = batch["traj"]
@@ -410,6 +421,20 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
         if collect_samples:
             return features, waypoint_samples, pred_goal_map
         return features, waypoint_samples
+
+    if shard_decode:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        bx = tuple(mesh.axis_names)  # batch shards over every axis here
+        row_sh = NamedSharding(mesh, P(bx))        # (B, ...) per-row
+        kb_sh = NamedSharding(mesh, P(None, bx))   # (K, B, ...)
+        # prefix pytrees: features list -> row_sh each
+        fwd_out = ((row_sh, kb_sh, row_sh) if collect_samples
+                   else (row_sh, kb_sh))
+        forward = jax.jit(forward, out_shardings=fwd_out)
+    else:
+        forward = maybe_jit(forward)
 
     @maybe_jit
     def _decode_all(params, features, waypoint_samples):
@@ -487,11 +512,11 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
         return jax.lax.map(
             decode_chunk, chunks).reshape(Ktot, B, scfg.pred_len, 2)
 
-    @maybe_jit
-    def decode_and_score(params, features, waypoint_samples, traj, mask,
-                         batch_hom):
+    def _score_body(params, features, waypoint_samples, traj, mask,
+                    batch_hom, psum_axes=None):
         """K decodes (_decode_all) + the min-over-K metrics
-        (evaluate.py:248-291)."""
+        (evaluate.py:248-291). psum_axes: under shard_map the three
+        scalar sums reduce over the mesh's batch axes."""
         trajs_samples = _decode_all(params, features, waypoint_samples)
 
         gt_future = traj[:, scfg.obs_len:]
@@ -528,12 +553,36 @@ def make_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
         best_idx = ade_k.argmin(axis=0)
         best_traj = jnp.take_along_axis(
             trajs_samples, best_idx[None, :, None, None], axis=0)[0]
+        ade_sum = jnp.sum(ade * mask)
+        fde_sum = jnp.sum(fde * mask)
+        n = jnp.sum(mask)
+        if psum_axes is not None:
+            ade_sum = jax.lax.psum(ade_sum, psum_axes)
+            fde_sum = jax.lax.psum(fde_sum, psum_axes)
+            n = jax.lax.psum(n, psum_axes)
         return {
             "ade": ade, "fde": fde, "mask": mask,
-            "ade_sum": jnp.sum(ade * mask), "fde_sum": jnp.sum(fde * mask),
-            "n": jnp.sum(mask),
+            "ade_sum": ade_sum, "fde_sum": fde_sum, "n": n,
             "best_traj": best_traj / scfg.resize_factor,
         }
+
+    if shard_decode:
+        try:
+            from jax import shard_map
+        except ImportError:  # jax < 0.6
+            from jax.experimental.shard_map import shard_map
+
+        bspec, kbspec, rspec = P(bx), P(None, bx), P()
+        decode_and_score = jax.jit(shard_map(
+            lambda p, f, w, t, m, h: _score_body(p, f, w, t, m, h,
+                                                 psum_axes=bx),
+            mesh=mesh,
+            in_specs=(rspec, bspec, kbspec, bspec, bspec, rspec),
+            out_specs={"ade": bspec, "fde": bspec, "mask": bspec,
+                       "ade_sum": rspec, "fde_sum": rspec, "n": rspec,
+                       "best_traj": bspec}))
+    else:
+        decode_and_score = maybe_jit(_score_body)
 
     def eval_step(params, state, batch, key):
         fwd_out = forward(params, state, batch, key)
@@ -567,7 +616,7 @@ _EVAL_STEP_MEMO = {}
 
 
 def cached_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
-                     collect_samples: bool = False):
+                     collect_samples: bool = False, mesh=None):
     """Memoized make_eval_step (jit=True only).
 
     The analysis tools call Experiment.test many times with only the model
@@ -581,13 +630,13 @@ def cached_eval_step(mcfg: ynet_lib.YNetConfig, scfg: StepConfig,
     first dispatch-only. Params/state/batch are arguments, so swapping
     checkpoints or LoRA overlays never stales the cache.
     """
-    key = (mcfg, scfg, bool(collect_samples))
+    key = (mcfg, scfg, bool(collect_samples), mesh)
     try:
         step = _EVAL_STEP_MEMO.get(key)
     except TypeError:  # unhashable field (e.g. list waypoints): no memo
-        return make_eval_step(mcfg, scfg, collect_samples)
+        return make_eval_step(mcfg, scfg, collect_samples, mesh=mesh)
     if step is None:
-        step = make_eval_step(mcfg, scfg, collect_samples)
+        step = make_eval_step(mcfg, scfg, collect_samples, mesh=mesh)
         _EVAL_STEP_MEMO[key] = step
     return step
 

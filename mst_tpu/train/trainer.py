@@ -470,7 +470,8 @@ class Experiment:
         ves_state, ves_shrink = self._eval_shrinker(
             lambda kc: steps_lib.cached_eval_step(
                 self.mcfg, self._step_config(eval_k_chunk=kc,
-                                             for_validation=True)))
+                                             for_validation=True),
+                mesh=self.mesh))
         e_unfreeze = self._e_unfreeze()
         unfreeze_step = None  # built lazily at the boundary
 
@@ -989,7 +990,7 @@ class Experiment:
         es_state, es_shrink = self._eval_shrinker(
             lambda kc: steps_lib.cached_eval_step(
                 self.mcfg, self._step_config(eval_k_chunk=kc),
-                collect_samples=return_samples))
+                collect_samples=return_samples, mesh=self.mesh))
         self.eval_ADE, self.eval_FDE = [], []
         list_metrics, list_trajs = [], []
         print("TTST setting:", p.get("use_TTST", False))
