@@ -10,6 +10,29 @@ import os
 _ENABLED = False
 
 
+def _host_cpu_fingerprint():
+    """Short hash of this host's CPU feature flags.
+
+    XLA:CPU AOT artifacts embed the compile machine's features; loading
+    them on a host with different features makes cpu_aot_loader spam
+    'could lead to SIGILL' errors for every cache hit (and falls back to
+    recompiling). The per-BACKEND split below isolates the remote-TPU
+    compile service's artifacts, but rounds run on heterogeneous driver
+    hosts, so the CPU cache itself must also be per-host-CPU-type."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    import hashlib
+
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "nofp"
+
+
 def enable_compilation_cache(cache_dir=None):
     global _ENABLED
     if _ENABLED:
@@ -22,7 +45,11 @@ def enable_compilation_cache(cache_dir=None):
         # per-backend cache dir: the tunneled-TPU path remote-compiles on a
         # different host, and its CPU AOT artifacts must not be loaded by
         # local CPU runs (mismatched machine features -> SIGILL risk)
-        cache_dir = f"{base}-{jax.default_backend()}"
+        backend = jax.default_backend()
+        cache_dir = f"{base}-{backend}"
+        if backend == "cpu":
+            # CPU artifacts are additionally machine-feature specific
+            cache_dir = f"{cache_dir}-{_host_cpu_fingerprint()}"
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _ENABLED = True
