@@ -44,12 +44,14 @@ def enable_compilation_cache(cache_dir=None):
     try:
         # per-backend cache dir: the tunneled-TPU path remote-compiles on a
         # different host, and its CPU AOT artifacts must not be loaded by
-        # local CPU runs (mismatched machine features -> SIGILL risk)
+        # local CPU runs (mismatched machine features -> SIGILL risk).
+        # The host fingerprint applies to EVERY backend dir: a TPU-session
+        # process still host-compiles CPU programs (init under
+        # default_device(cpu), constant folding) into the same dir, and
+        # those artifacts are machine-feature specific even though the
+        # TPU ones are not.
         backend = jax.default_backend()
-        cache_dir = f"{base}-{backend}"
-        if backend == "cpu":
-            # CPU artifacts are additionally machine-feature specific
-            cache_dir = f"{cache_dir}-{_host_cpu_fingerprint()}"
+        cache_dir = f"{base}-{backend}-{_host_cpu_fingerprint()}"
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _ENABLED = True

@@ -439,7 +439,10 @@ def _main():
     parser.add_argument("--sandbox", default="/tmp/mst_sweep")
     parser.add_argument("--out", default="scripts_e2e_results.json")
     parser.add_argument("--only", default=None,
-                        help="substring filter on script paths")
+                        help="substring filter on script paths; "
+                             "comma-separated alternatives select the "
+                             "union (e.g. the per-family flagship subset "
+                             "for the on-TPU validation sweep)")
     parser.add_argument("--timeout", type=int, default=1800)
     parser.add_argument("--skip_preprocessing", action="store_true")
     parser.add_argument("--resume", action="store_true",
@@ -457,7 +460,8 @@ def _main():
 
     scripts = experiment_scripts()
     if args.only:
-        scripts = [s for s in scripts if args.only in s]
+        pats = [p for p in args.only.split(",") if p]
+        scripts = [s for s in scripts if any(p in s for p in pats)]
     if args.command == "list":
         print("\n".join(scripts))
         return
