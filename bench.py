@@ -597,6 +597,16 @@ def measure_ttst(n_iter=10):
 
 
 def main():
+    from mst_tpu.utils.cache import scrub_known_benign_stderr
+
+    # the driver records this process's output tail as the round artifact;
+    # a warm compile cache would bury it under the benign cpu_aot_loader
+    # pseudo-feature warning (see utils/cache.py)
+    with scrub_known_benign_stderr():
+        _main_body()
+
+
+def _main_body():
     # dispatch-rate legs are host-sensitive: a concurrent CPU-bound
     # process on a small host starves the per-step dispatch loop and
     # deflates the train leg (measured 287 -> 218 traj/s under a parallel

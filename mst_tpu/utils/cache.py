@@ -5,9 +5,69 @@ programs); the on-disk cache turns every repeat compile — across processes,
 epochs and bench runs — into a ~0.1s load. Safe on CPU too.
 """
 
+import contextlib
 import os
+import threading
 
 _ENABLED = False
+
+# XLA's cpu_aot_loader logs a multi-KB "could lead to ... SIGILL" ERROR
+# for EVERY persistent-cache hit on this stack: the serialized CPU
+# executable embeds LLVM *tuning* pseudo-features (+prefer-no-scatter /
+# +prefer-no-gather), and the load-time check compares them against
+# llvm::sys::getHostCPUFeatures(), which never reports tuning flags — so
+# even artifacts this same host compiled moments earlier "mismatch".
+# (Genuinely foreign artifacts are kept out by the per-host cache-dir
+# fingerprint below; XLA also falls back to recompiling on a real
+# mismatch, so the message is noise either way.)
+_KNOWN_BENIGN_STDERR = (b"cpu_aot_loader.cc",)
+
+
+@contextlib.contextmanager
+def scrub_known_benign_stderr():
+    """Drop known-benign XLA C++ stderr lines (fd-level, line-wise).
+
+    The driver-run entry points (__graft_entry__.dryrun_multichip,
+    bench.py) report their tail as a round artifact; without this, a
+    warm compile cache buries the one summary line under pages of the
+    cpu_aot_loader pseudo-feature warning. Only lines containing the
+    pinned substrings are dropped — real errors pass through verbatim.
+    """
+    import sys
+
+    sys.stderr.flush()
+    real = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+
+    def pump():
+        buf = b""
+        while True:
+            try:
+                chunk = os.read(r, 1 << 16)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            *lines, buf = buf.split(b"\n")
+            for ln in lines:
+                if not any(p in ln for p in _KNOWN_BENIGN_STDERR):
+                    os.write(real, ln + b"\n")
+        if buf and not any(p in buf for p in _KNOWN_BENIGN_STDERR):
+            os.write(real, buf)
+        os.close(r)
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    try:
+        yield
+    finally:
+        sys.stderr.flush()
+        os.dup2(real, 2)  # detaches the pipe from fd 2 -> pump sees EOF
+        t.join(timeout=5)
+        os.close(real)
 
 
 def _host_cpu_fingerprint():
@@ -18,14 +78,29 @@ def _host_cpu_fingerprint():
     'could lead to SIGILL' errors for every cache hit (and falls back to
     recompiling). The per-BACKEND split below isolates the remote-TPU
     compile service's artifacts, but rounds run on heterogeneous driver
-    hosts, so the CPU cache itself must also be per-host-CPU-type."""
+    hosts, so the CPU cache itself must also be per-host-CPU-type.
+
+    Hash the ENTIRE first processor block, not just the 'flags' line:
+    LLVM's tuning pseudo-features (+prefer-no-scatter/+prefer-no-gather,
+    driven by the 'bugs'/microcode mitigations) differ between hosts
+    whose 'flags' lines are byte-identical, and a flags-only hash was
+    observed to collide across such hosts."""
+    stable = ("vendor_id", "cpu family", "model", "model name", "stepping",
+              "microcode", "flags", "Features", "bugs", "CPU implementer",
+              "CPU part")
     try:
+        block = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    import hashlib
+                if not line.strip():
+                    break  # first processor block only
+                if line.split(":")[0].strip() in stable or \
+                        line.startswith(("flags", "Features", "bugs")):
+                    block.append(line)
+        if block:
+            import hashlib
 
-                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+            return hashlib.sha1("".join(block).encode()).hexdigest()[:8]
     except OSError:
         pass
     import platform
