@@ -564,10 +564,16 @@ def measure_e2e_with_backbone(n_scenes=2, n_traj_per_scene=32,
             jax.block_until_ready(sem)
         backbone_sec = (time.perf_counter() - t0) / 5
 
-        exp.test(df, None)  # warmup: compiles the eval + backbone programs
-        t0 = time.perf_counter()
-        exp.test(df, None)  # full e2e: prepare_data + per-round seg + eval
-        dt = time.perf_counter() - t0
+        # Experiment.test prints per-round metrics to stdout; bench's
+        # stdout contract is ONE JSON line, so route them to stderr
+        import contextlib
+        import sys
+
+        with contextlib.redirect_stdout(sys.stderr):
+            exp.test(df, None)  # warmup: compiles eval + backbone programs
+            t0 = time.perf_counter()
+            exp.test(df, None)  # full e2e: prepare_data + seg + eval
+            dt = time.perf_counter() - t0
         n_agents = df.metaId.nunique()
         n_rounds = int(params["n_round"])
         return n_agents * n_rounds / dt, backbone_sec
