@@ -511,11 +511,12 @@ def measure_e2e_with_backbone(n_scenes=2, n_traj_per_scene=32,
     Random converted-format weights (unet_init -> the exact .npz pytree
     mst_tpu.models.convert emits, loaded through seg_lib.load_params —
     the real artifact's load path); n_scenes raw ~1408x1920 scenes are
-    resized (0.25), segmented through the backbone per round (fresh
-    seg_cache per _evaluate, mirroring the reference's per-pass
-    segmentation, train_epoch.py:34-38), then the full n_round=3 K=20
-    eval runs. Returns (e2e_traj_per_sec incl. host prep + amortized
-    backbone, backbone_sec_per_scene)."""
+    resized (0.25), segmented through the backbone once per test() call
+    (the scene->semantic cache spans the n_round loop — the backbone is
+    frozen/deterministic at test time; the reference re-segments per
+    round, train_epoch.py:34-38, with identical results), then the full
+    n_round=3 K=20 eval runs. Returns (e2e_traj_per_sec incl. host prep
+    + amortized backbone, backbone_sec_per_scene)."""
     import shutil
     import tempfile
 

@@ -181,7 +181,7 @@ def _fake_exp_evaluate(script):
     calls = {"n": 0}
 
     def fake(batches, eval_step, key, collect_preds=False,
-             collect_samples=False, shrink=None):
+             collect_samples=False, shrink=None, seg_cache=None):
         i = calls["n"]
         calls["n"] += 1
         return script[i], script[i] * 1.1, pd.DataFrame(), None
