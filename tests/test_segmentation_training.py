@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pandas as pd
 import pytest
 
 from mst_tpu import config as config_lib
@@ -13,7 +14,7 @@ from mst_tpu.train.trainer import Experiment
 TOTAL_LEN = 12
 
 
-def _exp(tmp_path, images, **over):
+def _exp(tmp_path, images, mesh=None, **over):
     params = config_lib.get_params(overrides=dict(
         obs_len=4, pred_len=8, waypoints=[7], n_semantic_classes=3,
         encoder_channels=[8, 8, 16, 16, 16],
@@ -23,7 +24,7 @@ def _exp(tmp_path, images, **over):
         ckpt_path=str(tmp_path), train_net="train", network="original",
         n_round=1, seed=1, segmentation_model_fp=None, save_every_n=100))
     params.update(over)
-    exp = Experiment(params, images=images)
+    exp = Experiment(params, mesh=mesh, images=images)
     # inject a tiny random backbone (n_classes == n_semantic_classes)
     exp.model_params["segmentation"] = unet_lib.unet_init(
         jax.random.PRNGKey(7), n_classes=3, layers=(1, 1, 1, 1),
@@ -205,3 +206,32 @@ def test_static_backbone_segments_each_scene_once(tmp_path, monkeypatch):
     one = exp3.test(df_test, None)
     np.testing.assert_allclose(base[0], base[0])  # finite sanity
     assert np.isfinite(one[0]) and np.isfinite(base[0])
+
+
+def test_backbone_eval_under_mesh_matches_single(tmp_path):
+    """Experiment.test with a REAL (tiny) backbone under an 8-device data
+    mesh == single-device: the cached semantic maps are committed
+    single-device arrays that shard_batch re-places onto the mesh, and
+    the shard_map'd decode (steps.make_eval_step(mesh=...)) must not
+    change the metrics."""
+    from mst_tpu.parallel import mesh as mesh_lib
+
+    df, images = make_synthetic_dataset(seed=5, n_scenes=2, n_traj=8,
+                                        total_len=TOTAL_LEN)
+    ids = df.metaId.unique()
+    df_test = df[df.metaId.isin(ids[:16])]
+
+    res = {}
+    for name, mesh in [("single", None), ("mesh", mesh_lib.make_mesh((8,)))]:
+        exp = _exp(tmp_path, images, mesh=mesh, n_round=2, batch_size=8)
+        if mesh is not None:
+            exp.model_params = mesh_lib.replicate_tree(
+                mesh, exp.model_params)
+        ade, fde, list_m, _ = exp.test(df_test, None)
+        per_id = pd.concat(list_m, ignore_index=True).sort_values(
+            ["metaId"]).ade.to_numpy()
+        res[name] = (ade, fde, per_id)
+    np.testing.assert_allclose(res["single"][0], res["mesh"][0], rtol=1e-4)
+    np.testing.assert_allclose(res["single"][1], res["mesh"][1], rtol=1e-4)
+    np.testing.assert_allclose(res["single"][2], res["mesh"][2],
+                               rtol=1e-4, atol=1e-4)
