@@ -84,6 +84,8 @@ def get_parser(is_train: bool) -> argparse.ArgumentParser:
                              " docs/parity.md, ETH deviation note)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize the train forward (jax.checkpoint): recompute encoder/decoder activations in the backward instead of holding them in HBM — for big-scene/big-batch training, pairs with --mesh_axes data space")
+    parser.add_argument("--seg_cache_device_mb", default=512, type=int,
+                        help="per-cache ceiling (MB) on device-resident cached semantic maps; scenes past it stay host-side and re-upload per batch (0 = always host)")
     if is_train:
         # train args (parser.py:53-69)
         parser.add_argument("--fine_tune", action="store_true")

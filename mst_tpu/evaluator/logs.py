@@ -52,8 +52,14 @@ def extract_test_metrics(text):
     return pd.DataFrame(rows)
 
 
-_ROUND_RE = (r"Round (\d+): \nTest ADE: ([\d\.]+) \n"
-             r"Test FDE: ([\d\.]+)")
+# wider float pattern than the byte-compat _AVG_RE: the SE estimator must
+# not silently drop rounds printed as 'nan'/'inf'/scientific notation — a
+# non-finite value parses and propagates, turning the suite verdict
+# 'inconclusive' downstream instead of corrupting the spread
+_NUM = r"([-+]?(?:\d+\.?\d*(?:[eE][-+]?\d+)?|\.\d+(?:[eE][-+]?\d+)?|nan|inf))"
+_ROUND_W_RE = rf"Round (\d+): \nTest ADE: {_NUM} \nTest FDE: {_NUM}"
+_AVG_W_RE = (rf"Average performance \(by [\d]+\): \nTest ADE: {_NUM} \n"
+             rf"Test FDE: {_NUM}")
 
 
 def extract_runs_with_rounds(text):
@@ -67,11 +73,17 @@ def extract_runs_with_rounds(text):
     "round_fde": [...]} — the raw material for the parity decision rule
     (parity_stats.py): the round spread estimates the protocol's own
     sampling noise.
+
+    A 'Round 0' block with rounds already pending marks a run whose
+    Average line never printed (killed/partial log): the stale rounds are
+    dropped rather than leaked into the next run's spread.
     """
     runs, rounds = [], []
-    pat = re.compile(f"(?:{_ROUND_RE})|(?:{_AVG_RE})")
+    pat = re.compile(f"(?:{_ROUND_W_RE})|(?:{_AVG_W_RE})")
     for m in pat.finditer(text):
         if m.group(1) is not None:  # a Round block
+            if m.group(1) == "0" and rounds:
+                rounds = []  # previous run died before its Average block
             rounds.append((float(m.group(2)), float(m.group(3))))
         else:  # an Average block closes the current run
             runs.append({

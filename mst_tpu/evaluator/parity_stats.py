@@ -88,8 +88,15 @@ def suite_stats(text):
         fde, fde_se, _ = _mean_se([r["fde"] for r in runs])
     else:
         rounds_a, rounds_f = runs[0]["round_ade"], runs[0]["round_fde"]
-        ade, ade_se, df = _mean_se(rounds_a)
-        fde, fde_se, _ = _mean_se(rounds_f)
+        if rounds_a:
+            ade, ade_se, df = _mean_se(rounds_a)
+            fde, fde_se, _ = _mean_se(rounds_f)
+        else:
+            # Average block without parseable Round lines: no spread
+            # estimate — NaN SE makes the verdict 'inconclusive', never
+            # a silent pass
+            ade_se = fde_se = float("nan")
+            df = 0
         # the reported metric is the round mean, so its SE is already
         # spread/sqrt(n_round) via _mean_se; keep the printed average
         # (identical up to float noise, but byte-honest to the log)
@@ -138,6 +145,7 @@ def build_report(log_dir, ref_table=None, margin_pct=1.0):
         ref = pd.read_csv(ref_table)
         rep = rep.merge(ref, on="suite", suffixes=("", "_ref"),
                         how="left")
+        severity = {"different": 2, "inconclusive": 1, "equivalent": 0}
         verdicts = []
         for _, r in rep.iterrows():
             if pd.isna(r.get("ade_ref")):
@@ -147,26 +155,27 @@ def build_report(log_dir, ref_table=None, margin_pct=1.0):
                              r.get("ade_se_ref"), int(r.df), margin_pct)
             vf = equivalence(r.fde, r.fde_se, r.fde_ref,
                              r.get("fde_se_ref"), int(r.df), margin_pct)
-            worst = max((va, vf), key=lambda v: abs(v["delta_pct"]))
+            # the printed CI belongs to the metric that DRIVES the suite
+            # verdict (worst severity, then larger delta), so a reader
+            # sizing up an inconclusive suite sees the CI that caused it
+            worst = max((va, vf),
+                        key=lambda v: (severity[v["verdict"]],
+                                       abs(v["delta_pct"])))
             v = {"ade_delta_pct": va["delta_pct"],
                  "fde_delta_pct": vf["delta_pct"],
                  "ci_lo_pct": worst["ci_lo_pct"],
                  "ci_hi_pct": worst["ci_hi_pct"],
                  "mdd_pct": max(va["mdd_pct"], vf["mdd_pct"]),
-                 "verdict": ("different"
-                             if "different" in (va["verdict"],
-                                                vf["verdict"])
-                             else "inconclusive"
-                             if "inconclusive" in (va["verdict"],
-                                                   vf["verdict"])
-                             else "equivalent")}
+                 "verdict": worst["verdict"]}
             verdicts.append(v)
         rep = pd.concat([rep, pd.DataFrame(verdicts, index=rep.index)],
                         axis=1)
         if (rep.verdict == "different").any():
             code = 1
-        elif (rep.verdict == "inconclusive").any():
-            code = 2
+        elif (rep.verdict != "equivalent").any():
+            code = 2  # inconclusive OR missing from the reference table
+    elif ref_table is not None:
+        code = 2  # a gate that compared nothing must not pass
     return rep, code
 
 
@@ -186,15 +195,29 @@ def main(argv=None):
         print(rep.to_string(index=False))
     print(f"wrote {args.out}")
     if args.ref_table:
-        n_bad = int((rep.verdict == "different").sum())
-        n_inc = int((rep.verdict == "inconclusive").sum())
-        if code == 1:
+        has_verdict = "verdict" in rep.columns and len(rep)
+        n_bad = int((rep.verdict == "different").sum()) if has_verdict \
+            else 0
+        n_inc = int((rep.verdict == "inconclusive").sum()) if has_verdict \
+            else 0
+        n_noref = int((rep.verdict == "no_ref").sum()) if has_verdict \
+            else 0
+        if not has_verdict:
+            print("PARITY INCONCLUSIVE: no suite logs were parsed — "
+                  "nothing was compared")
+        elif code == 1:
             print(f"PARITY FAIL: {n_bad} suites demonstrably exceed "
                   f"the {args.margin_pct}% margin")
         elif code == 2:
-            print(f"PARITY INCONCLUSIVE: {n_inc} suites cannot resolve "
-                  f"{args.margin_pct}% at this sample size — raise "
-                  f"n_round / add seeds (see mdd_pct per suite)")
+            detail = []
+            if n_inc:
+                detail.append(f"{n_inc} cannot resolve "
+                              f"{args.margin_pct}% at this sample size "
+                              f"(raise n_round / add seeds; see mdd_pct)")
+            if n_noref:
+                detail.append(f"{n_noref} have no matching row in the "
+                              f"reference table (check suite names)")
+            print("PARITY INCONCLUSIVE: " + "; ".join(detail))
         else:
             print(f"PARITY OK: every suite shown equivalent within "
                   f"{args.margin_pct}% (TOST, alpha=0.05)")

@@ -221,6 +221,11 @@ class Experiment:
             self._homo_cache[scene] = mat
         return self._homo_cache[scene]
 
+    # per-cache ceiling on DEVICE-resident semantic maps; entries past it
+    # fall back to host numpy (old behavior: re-uploaded per batch). Keyed
+    # under a non-string sentinel so it can never collide with a scene id.
+    _SEG_DEV_BYTES = object()
+
     def _semantic_for(self, batch, cache, raw=False):
         """Segmentation backbone output per scene, cached per data pass
         (the reference computes it once per scene per epoch,
@@ -243,16 +248,25 @@ class Experiment:
                     bn_state=self.model_state.get("segmentation_bn")
                     if isinstance(self.model_state, dict) else None)
             else:
-                # identity backbone (reference ynet.py:507): stage the
-                # host image once so repeat batches reuse the device copy
-                sem = jax.device_put(img)
+                sem = img  # identity backbone (reference ynet.py:507)
             # keep the cached map DEVICE-resident: every batch of the
             # scene passes it through _device_batch -> device_put, and a
             # committed device array makes that a no-op — a host-numpy
             # cache re-uploaded the full map per batch (4-8 MB per
             # dispatch through a tunneled runtime). Consumers that need
             # host values (fused pack, activations viz) np.asarray it
-            # themselves.
+            # themselves. Bounded: past --seg_cache_device_mb (per cache)
+            # further scenes stay host-side so a many-scene run cannot
+            # crowd training activations out of HBM.
+            nbytes = int(np.prod(sem.shape)) * sem.dtype.itemsize
+            used = cache.get(Experiment._SEG_DEV_BYTES, 0)
+            budget = int(self.params.get("seg_cache_device_mb",
+                                         512)) * (1 << 20)
+            if used + nbytes <= budget:
+                sem = jax.device_put(sem)
+                cache[Experiment._SEG_DEV_BYTES] = used + nbytes
+            else:
+                sem = np.asarray(sem)
             if sem.shape[-1] != self.mcfg.n_semantic_classes:
                 # fail fast with an actionable message — otherwise this
                 # surfaces as an opaque conv lhs/rhs channel mismatch deep

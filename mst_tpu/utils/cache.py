@@ -43,20 +43,23 @@ def scrub_known_benign_stderr():
 
     def pump():
         buf = b""
-        while True:
-            try:
-                chunk = os.read(r, 1 << 16)
-            except OSError:
-                break
-            if not chunk:
-                break
-            buf += chunk
-            *lines, buf = buf.split(b"\n")
-            for ln in lines:
-                if not any(p in ln for p in _KNOWN_BENIGN_STDERR):
-                    os.write(real, ln + b"\n")
-        if buf and not any(p in buf for p in _KNOWN_BENIGN_STDERR):
-            os.write(real, buf)
+        try:
+            while True:
+                try:
+                    chunk = os.read(r, 1 << 16)
+                except OSError:
+                    break
+                if not chunk:
+                    break
+                buf += chunk
+                *lines, buf = buf.split(b"\n")
+                for ln in lines:
+                    if not any(p in ln for p in _KNOWN_BENIGN_STDERR):
+                        os.write(real, ln + b"\n")
+            if buf and not any(p in buf for p in _KNOWN_BENIGN_STDERR):
+                os.write(real, buf)
+        except OSError:
+            pass  # real closed under us (see the leak note below)
         os.close(r)
 
     t = threading.Thread(target=pump, daemon=True)
@@ -67,7 +70,12 @@ def scrub_known_benign_stderr():
         sys.stderr.flush()
         os.dup2(real, 2)  # detaches the pipe from fd 2 -> pump sees EOF
         t.join(timeout=5)
-        os.close(real)
+        # if a subprocess inherited the pipe write end and outlived the
+        # block, the pump never sees EOF: leak `real` (the pump still
+        # holds it for the child's future lines) rather than close it
+        # out from under a live writer
+        if not t.is_alive():
+            os.close(real)
 
 
 def _host_cpu_fingerprint():

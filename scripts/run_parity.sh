@@ -100,5 +100,5 @@ done
 # per-suite mean +/- SE/CI from the n_round rounds (and the seed-grid
 # spread on tune suites), then the TOST equivalence gate — see
 # mst_tpu/evaluator/parity_stats.py and docs/parity.md for the rule
-python -m mst_tpu.evaluator.parity_stats "$LOG_DIR" $REF_TABLE \
-  --out parity_report.csv
+python -m mst_tpu.evaluator.parity_stats "$LOG_DIR" \
+  ${REF_TABLE:+"$REF_TABLE"} --out parity_report.csv

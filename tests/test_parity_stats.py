@@ -159,3 +159,78 @@ class TestReportAndCLI:
         assert res.returncode == 0, res.stderr
         assert "PARITY OK" in res.stdout
         assert (tmp_path / "parity_report.csv").exists()
+
+
+class TestGateNeverPassesVacuously:
+    """A gate that compared nothing must not print PARITY OK / exit 0."""
+
+    def test_stale_rounds_dropped_on_new_run(self):
+        # a killed run printed its rounds but no Average block; the next
+        # run's spread must not inherit them
+        partial = "Round 0: \nTest ADE: 99.0 \nTest FDE: 99.0\n" \
+                  "Round 1: \nTest ADE: 98.0 \nTest FDE: 98.0\n"
+        full = _log([[(10.0, 20.0), (11.0, 21.0)]])
+        runs = extract_runs_with_rounds(partial + full)
+        assert len(runs) == 1
+        assert runs[0]["round_ade"] == [10.0, 11.0]
+
+    def test_nonfinite_round_flows_to_inconclusive(self, tmp_path):
+        logs = tmp_path / "logs"
+        logs.mkdir()
+        (logs / "suite_a.out").write_text(
+            "Round 0: \nTest ADE: nan \nTest FDE: 20.0\n"
+            "Round 1: \nTest ADE: 10.0 \nTest FDE: 21.0\n\n"
+            "Average performance (by 2): \nTest ADE: 10.0 \n"
+            "Test FDE: 20.5\n")
+        ref = tmp_path / "ref.csv"
+        ref.write_text("suite,ade,fde\nsuite_a,10.0,20.5\n")
+        rep, code = parity_stats.build_report(logs, ref)
+        assert code == 2  # nan spread can never demonstrate equivalence
+        assert rep.verdict.iloc[0] == "inconclusive"
+
+    def test_average_without_rounds_is_inconclusive(self, tmp_path):
+        logs = tmp_path / "logs"
+        logs.mkdir()
+        (logs / "suite_a.out").write_text(
+            "Average performance (by 3): \nTest ADE: 10.0 \n"
+            "Test FDE: 20.0\n")
+        ref = tmp_path / "ref.csv"
+        ref.write_text("suite,ade,fde\nsuite_a,10.0,20.0\n")
+        rep, code = parity_stats.build_report(logs, ref)
+        assert code == 2
+        assert rep.verdict.iloc[0] == "inconclusive"
+
+    def test_no_matching_ref_rows_exit_2(self, tmp_path):
+        logs = tmp_path / "logs"
+        logs.mkdir()
+        (logs / "suite_a.out").write_text(_log([[(10.0, 20.0),
+                                                 (10.1, 20.1)]]))
+        ref = tmp_path / "ref.csv"
+        ref.write_text("suite,ade,fde\nWRONG_NAME,10.0,20.0\n")
+        rep, code = parity_stats.build_report(logs, ref)
+        assert code == 2
+        assert rep.verdict.iloc[0] == "no_ref"
+
+    def test_empty_log_dir_with_ref_exit_2(self, tmp_path):
+        logs = tmp_path / "logs"
+        logs.mkdir()
+        ref = tmp_path / "ref.csv"
+        ref.write_text("suite,ade,fde\nsuite_a,10.0,20.0\n")
+        rep, code = parity_stats.build_report(logs, ref)
+        assert code == 2
+
+    def test_ci_columns_follow_the_driving_metric(self, tmp_path):
+        # ADE tight + equivalent; FDE wide + inconclusive: the row's CI
+        # must be FDE's (the verdict driver), not ADE's larger delta
+        logs = tmp_path / "logs"
+        logs.mkdir()
+        rounds = [(10.0, 18.0), (10.01, 20.0), (9.99, 22.0)]
+        (logs / "suite_a.out").write_text(_log([rounds]))
+        ref = tmp_path / "ref.csv"
+        ref.write_text("suite,ade,fde,ade_se,fde_se\n"
+                       "suite_a,10.0,20.0,0.005,0.01\n")
+        rep, code = parity_stats.build_report(logs, ref)
+        assert rep.verdict.iloc[0] == "inconclusive"
+        # FDE's CI half-width is far larger than ADE's
+        half = (rep.ci_hi_pct.iloc[0] - rep.ci_lo_pct.iloc[0]) / 2
+        assert half > 5.0, half  # ADE's would be ~0.1%

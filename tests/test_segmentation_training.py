@@ -235,3 +235,28 @@ def test_backbone_eval_under_mesh_matches_single(tmp_path):
     np.testing.assert_allclose(res["single"][1], res["mesh"][1], rtol=1e-4)
     np.testing.assert_allclose(res["single"][2], res["mesh"][2],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_seg_cache_device_budget_falls_back_to_host(tmp_path):
+    """Past --seg_cache_device_mb the cached semantic maps stay host-side
+    (numpy) so a many-scene run cannot pin unbounded HBM; metrics are
+    unchanged either way (placement only)."""
+    df, images = make_synthetic_dataset(seed=6, n_scenes=2, n_traj=6,
+                                        total_len=TOTAL_LEN)
+    res = {}
+    for name, mb in [("device", 512), ("host", 0)]:
+        exp = _exp(tmp_path, images, n_round=1, seg_cache_device_mb=mb)
+        cache = {}
+        batches = exp.prepare_data(df, None, "test")
+        for b in batches:
+            exp._semantic_for(b, cache)
+        sems = [v for k, v in cache.items()
+                if k is not Experiment._SEG_DEV_BYTES]
+        if name == "host":
+            assert all(isinstance(s, np.ndarray) for s in sems)
+            assert Experiment._SEG_DEV_BYTES not in cache
+        else:
+            assert all(not isinstance(s, np.ndarray) for s in sems)
+            assert cache[Experiment._SEG_DEV_BYTES] > 0
+        res[name] = exp.test(df, None)[:2]
+    np.testing.assert_allclose(res["device"], res["host"], rtol=1e-6)
